@@ -1,0 +1,135 @@
+"""Multi-head attention with optional relative-position bias and KV cache.
+
+Numerics contract: HF SpeechT5Attention (transformers modeling_speecht5.py),
+i.e. q is pre-scaled by head_dim**-0.5 before both the content term q@k^T and
+the relative-bias term einsum(q, pe_k).  GPT-2 uses the same kernel without
+position bias and with a causal mask.
+
+TPU notes: the dense path below is a single fused chain of MXU matmuls that
+XLA pipelines well at the sequence lengths this framework targets per-block
+(<= a few thousand); for conversation-scale sequences use
+ops.pallas.flash_attention (blockwise, O(T) memory) instead.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+
+NEG_INF = -1e9  # large-negative additive mask (fp32/bf16 safe)
+
+
+def mha_init(rng, embed_dim: int, *, bias: bool = True, dtype=jnp.float32) -> Dict:
+    ks = jax.random.split(rng, 4)
+    return {
+        "q_proj": layers.dense_init(ks[0], embed_dim, embed_dim, bias=bias, dtype=dtype),
+        "k_proj": layers.dense_init(ks[1], embed_dim, embed_dim, bias=bias, dtype=dtype),
+        "v_proj": layers.dense_init(ks[2], embed_dim, embed_dim, bias=bias, dtype=dtype),
+        "out_proj": layers.dense_init(ks[3], embed_dim, embed_dim, bias=bias, dtype=dtype),
+    }
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def multi_head_attention(
+    params: Dict,
+    hidden_states: jnp.ndarray,
+    *,
+    num_heads: int,
+    key_value_states: Optional[jnp.ndarray] = None,
+    attention_bias: Optional[jnp.ndarray] = None,
+    position_bias: Optional[jnp.ndarray] = None,
+    kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Scaled dot-product MHA.
+
+    Args:
+      hidden_states: [B, Tq, D] queries source.
+      key_value_states: [B, Tk, D] for cross-attention (None => self-attn).
+      attention_bias: additive mask broadcastable to [B, H, Tq, Tk].
+      position_bias: [Tq, Tk, head_dim] relative-position keys (SpeechT5).
+      kv_cache: {"k": [B,H,Tmax,hd], "v": ...} decode cache to update in place
+        at ``cache_index`` (self-attention incremental decoding).
+
+    Returns (output [B, Tq, D], updated kv_cache or None).
+    """
+    d = hidden_states.shape[-1]
+    head_dim = d // num_heads
+    scale = head_dim ** -0.5
+
+    q = layers.dense(params["q_proj"], hidden_states) * scale
+    kv_src = hidden_states if key_value_states is None else key_value_states
+    k = layers.dense(params["k_proj"], kv_src)
+    v = layers.dense(params["v_proj"], kv_src)
+
+    q = _split_heads(q, num_heads)  # [B,H,Tq,hd]
+    k = _split_heads(k, num_heads)
+    v = _split_heads(v, num_heads)
+
+    new_cache = None
+    if kv_cache is not None:
+        if cache_index is None:
+            raise ValueError("cache_index required with kv_cache")
+        k = jax.lax.dynamic_update_slice(kv_cache["k"], k, (0, 0, cache_index, 0))
+        v = jax.lax.dynamic_update_slice(kv_cache["v"], v, (0, 0, cache_index, 0))
+        new_cache = {"k": k, "v": v}
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+
+    if position_bias is not None:
+        # rel bias: scores[b,h,i,j] += q[b,h,i,:] . pe_k[i,j,:]
+        rel = jnp.einsum("bhid,ijd->bhij", q, position_bias.astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        scores = scores + rel
+
+    if attention_bias is not None:
+        scores = scores + attention_bias.astype(scores.dtype)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = layers.dropout(dropout_rng, probs, dropout_rate, deterministic)
+
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+    out = _merge_heads(out)
+    out = layers.dense(params["out_proj"], out)
+    return out, new_cache
+
+
+def padding_attention_bias(valid_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, Tk] 1/0 validity -> additive [B, 1, 1, Tk] bias."""
+    return jnp.where(valid_mask[:, None, None, :].astype(bool), 0.0, NEG_INF).astype(dtype)
+
+
+def causal_attention_bias(q_len: int, k_len: int, dtype=jnp.float32,
+                          offset: int = 0) -> jnp.ndarray:
+    """Additive [1, 1, Tq, Tk] causal mask; ``offset`` shifts the query
+    positions forward (incremental decoding with a KV cache)."""
+    qi = jnp.arange(q_len)[:, None] + offset
+    kj = jnp.arange(k_len)[None, :]
+    return jnp.where(kj <= qi, 0.0, NEG_INF).astype(dtype)[None, None]
+
+
+def relative_position_bias_table(pe_weight: jnp.ndarray, seq_len: int,
+                                 max_length: int) -> jnp.ndarray:
+    """Gather [T, T, head_dim] relative-position keys from a (2*max_length,
+    head_dim) embedding table (HF SpeechT5RelativePositionalEncoding parity:
+    distances clipped to [-max_length, max_length-1] then offset)."""
+    pos = jnp.arange(seq_len)
+    rel = pos[:, None] - pos[None, :]
+    rel = jnp.clip(rel, -max_length, max_length - 1) + max_length
+    return jnp.take(pe_weight, rel, axis=0)
