@@ -1,0 +1,194 @@
+"""GPT-2 language model (the reference's LM-evaluation model family,
+lms/src/eval_ppl_with_pretrained_lm.py:64 loads gpt2..gpt2-xl).
+
+Functional JAX implementation with explicit fixed-shape KV caches.  The KV
+cache is what turns the reference's O(T*L) stride-1 sliding-window PPL scan
+(lms/src/utils.py:141-178) into an O(T) device-resident scoring pass — see
+pipelines/eval_ppl.py for the numerics-equivalence contract.
+
+Parameter layout mirrors HF GPT-2 module names; HF's Conv1D already stores
+kernels [in, out] so import is rename-only (import_torch.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import attention, layers
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    layer_norm_epsilon: float = 1e-5
+    activation: str = "gelu_new"
+    embd_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+def tiny_gpt2_config(**over) -> GPT2Config:
+    base = dict(vocab_size=61, n_positions=32, n_embd=16, n_layer=2, n_head=2)
+    base.update(over)
+    return GPT2Config(**base)
+
+
+# Preset configs matching the public GPT-2 family (the reference's --model choices).
+PRESETS = {
+    "gpt2": GPT2Config(),
+    "gpt2-medium": GPT2Config(n_embd=1024, n_layer=24, n_head=16),
+    "gpt2-large": GPT2Config(n_embd=1280, n_layer=36, n_head=20),
+    "gpt2-xl": GPT2Config(n_embd=1600, n_layer=48, n_head=25),
+}
+
+
+def gpt2_init(rng, cfg: GPT2Config, dtype=jnp.float32) -> Dict:
+    ks = jax.random.split(rng, cfg.n_layer + 2)
+    blocks = {}
+    for i in range(cfg.n_layer):
+        ka, kf = jax.random.split(ks[i])
+        blocks[str(i)] = {
+            "ln_1": layers.layer_norm_init(cfg.n_embd, dtype),
+            "attn": {
+                "c_attn": layers.dense_init(ka, cfg.n_embd, 3 * cfg.n_embd, dtype=dtype),
+                "c_proj": layers.dense_init(jax.random.fold_in(ka, 1), cfg.n_embd, cfg.n_embd, dtype=dtype),
+            },
+            "ln_2": layers.layer_norm_init(cfg.n_embd, dtype),
+            "mlp": {
+                "c_fc": layers.dense_init(kf, cfg.n_embd, 4 * cfg.n_embd, dtype=dtype),
+                "c_proj": layers.dense_init(jax.random.fold_in(kf, 1), 4 * cfg.n_embd, cfg.n_embd, dtype=dtype),
+            },
+        }
+    return {
+        "wte": {"weight": jax.random.normal(ks[-2], (cfg.vocab_size, cfg.n_embd), dtype) * 0.02},
+        "wpe": {"weight": jax.random.normal(ks[-1], (cfg.n_positions, cfg.n_embd), dtype) * 0.01},
+        "h": blocks,
+        "ln_f": layers.layer_norm_init(cfg.n_embd, dtype),
+    }
+
+
+def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) -> Dict:
+    shape = (batch, cfg.n_head, max_len, cfg.head_dim)
+    return {str(i): {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for i in range(cfg.n_layer)}
+
+
+def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
+           bias: jnp.ndarray, kv_cache: Optional[Dict],
+           cache_index: Optional[jnp.ndarray],
+           rng, deterministic: bool) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    act = layers.ACTIVATIONS[cfg.activation]
+    rngs = (None,) * 3 if rng is None else tuple(jax.random.split(rng, 3))
+
+    h = layers.layer_norm(bp["ln_1"], x, eps=cfg.layer_norm_epsilon)
+    qkv = layers.dense(bp["attn"]["c_attn"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    b, t, _ = q.shape
+    q = q.reshape(b, t, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+
+    new_cache = None
+    if kv_cache is not None:
+        k = jax.lax.dynamic_update_slice(kv_cache["k"], k, (0, 0, cache_index, 0))
+        v = jax.lax.dynamic_update_slice(kv_cache["v"], v, (0, 0, cache_index, 0))
+        new_cache = {"k": k, "v": v}
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / (cfg.head_dim ** 0.5)
+    scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = layers.dropout(rngs[0], probs, cfg.attn_pdrop, deterministic)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
+    attn = layers.dense(bp["attn"]["c_proj"], attn)
+    attn = layers.dropout(rngs[1], attn, cfg.resid_pdrop, deterministic)
+    x = x + attn
+
+    h = layers.layer_norm(bp["ln_2"], x, eps=cfg.layer_norm_epsilon)
+    h = layers.dense(bp["mlp"]["c_fc"], h)
+    h = act(h)
+    h = layers.dense(bp["mlp"]["c_proj"], h)
+    h = layers.dropout(rngs[2], h, cfg.resid_pdrop, deterministic)
+    return x + h, new_cache
+
+
+def gpt2_forward(
+    params: Dict, cfg: GPT2Config, input_ids: jnp.ndarray,
+    *,
+    attention_mask: Optional[jnp.ndarray] = None,
+    kv_caches: Optional[Dict] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Token ids [B, T] -> (hidden [B, T, D], updated kv caches).
+
+    Incremental mode: pass ``kv_caches`` (fixed shape) and ``cache_index``
+    (number of tokens already cached); positions and causal masking follow.
+    """
+    b, t = input_ids.shape
+    past = 0 if cache_index is None else cache_index
+    pos = jnp.arange(t) + past
+    x = jnp.take(params["wte"]["weight"], input_ids, axis=0)
+    x = x + jnp.take(params["wpe"]["weight"], pos, axis=0)[None]
+    if dropout_rng is not None:
+        dropout_rng, sub = jax.random.split(dropout_rng)
+        x = layers.dropout(sub, x, cfg.embd_pdrop, deterministic)
+
+    if kv_caches is None:
+        bias = attention.causal_attention_bias(t, t)
+    else:
+        k_len = kv_caches["0"]["k"].shape[2]
+        qi = past + jnp.arange(t)[:, None]
+        kj = jnp.arange(k_len)[None, :]
+        bias = jnp.where(kj <= qi, 0.0, attention.NEG_INF)[None, None]
+    if attention_mask is not None:
+        bias = bias + attention.padding_attention_bias(attention_mask)
+
+    new_caches = {} if kv_caches is not None else None
+    rngs = (jax.random.split(dropout_rng, cfg.n_layer)
+            if dropout_rng is not None else [None] * cfg.n_layer)
+    for i in range(cfg.n_layer):
+        cache_i = kv_caches[str(i)] if kv_caches is not None else None
+        x, upd = _block(params["h"][str(i)], cfg, x, bias, cache_i,
+                        cache_index, rngs[i], deterministic)
+        if new_caches is not None:
+            new_caches[str(i)] = upd
+
+    x = layers.layer_norm(params["ln_f"], x, eps=cfg.layer_norm_epsilon)
+    return x, new_caches
+
+
+def gpt2_logits(params: Dict, cfg: GPT2Config, input_ids: jnp.ndarray,
+                **kw) -> Tuple[jnp.ndarray, Optional[Dict]]:
+    """Forward + tied lm head -> (logits [B, T, V], caches)."""
+    hidden, caches = gpt2_forward(params, cfg, input_ids, **kw)
+    logits = jnp.dot(hidden, params["wte"]["weight"].T,
+                     preferred_element_type=hidden.dtype)
+    return logits, caches
+
+
+def token_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Per-token NLL of ``targets`` under shifted ``logits``.
+
+    Matches the reference's CrossEntropyLoss(reduction='none') over
+    shifted logits/targets (eval_ppl_with_pretrained_lm.py:85-97):
+    returns [B, T-1] NLLs for tokens 1..T-1.
+    """
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = targets[:, 1:]
+    return -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

@@ -272,7 +272,7 @@ def log_mel_spectrogram(
     if mel_filters is None:
         mel_filters = mel_filter_bank(fft_length // 2 + 1, num_mel_bins, fmin,
                                       fmax, sampling_rate)
-    frames = frame_signal(wav.astype(jnp.float64), frame_length, hop, center=True)
+    frames = frame_signal(wav.astype(jnp.float32), frame_length, hop, center=True)
     frames = frames * jnp.asarray(window)
     spec = jnp.abs(jnp.fft.rfft(frames, n=fft_length, axis=-1))
     mel = jnp.maximum(spec @ jnp.asarray(mel_filters, spec.dtype), mel_floor)

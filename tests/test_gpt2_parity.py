@@ -1,0 +1,73 @@
+"""GPT-2 numerics parity vs HF torch (random tiny config, no network)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from transformers import GPT2Config as HFGPT2Config, GPT2LMHeadModel
+
+import jax
+import jax.numpy as jnp
+
+from loco_asr_tpu.models.gpt2 import import_torch, model as g
+
+
+@pytest.fixture(scope="module")
+def pair():
+    torch.manual_seed(0)
+    hf_cfg = HFGPT2Config(vocab_size=61, n_positions=32, n_embd=16, n_layer=2,
+                          n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0)
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+    params = import_torch.load_hf_gpt2(hf.state_dict())
+    cfg = g.tiny_gpt2_config()
+    return hf, params, cfg
+
+
+def test_logits_parity(pair):
+    hf, params, cfg = pair
+    ids = np.array([[5, 9, 2, 44, 17, 3], [7, 7, 1, 0, 60, 12]], np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = g.gpt2_logits(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_token_nll_matches_torch_ce(pair):
+    hf, params, cfg = pair
+    ids = np.array([[5, 9, 2, 44, 17, 3]], np.int64)
+    with torch.no_grad():
+        logits = hf(torch.from_numpy(ids)).logits
+        shifted = logits[..., :-1, :].transpose(1, 2)
+        ref = torch.nn.CrossEntropyLoss(reduction="none")(
+            shifted, torch.from_numpy(ids[..., 1:])).numpy()
+    our_logits, _ = g.gpt2_logits(params, cfg, jnp.asarray(ids))
+    got = np.asarray(g.token_nll(our_logits, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_kv_cache_scoring_matches_full(pair):
+    """Incremental scoring with a KV cache reproduces full-context logits —
+    the numerics-equivalence proof backing the eval_ppl max_len fast path."""
+    _, params, cfg = pair
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 61, (2, 12))
+
+    full, _ = g.gpt2_logits(params, cfg, jnp.asarray(ids))
+
+    caches = g.init_kv_cache(cfg, 2, 12)
+    # prefill 8 tokens, then step one-by-one
+    logits_p, caches = g.gpt2_logits(params, cfg, jnp.asarray(ids[:, :8]),
+                                     kv_caches=caches, cache_index=0)
+    outs = [np.asarray(logits_p)]
+    for t in range(8, 12):
+        step_logits, caches = g.gpt2_logits(
+            params, cfg, jnp.asarray(ids[:, t:t + 1]),
+            kv_caches=caches, cache_index=t)
+        outs.append(np.asarray(step_logits))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(full), atol=1e-4, rtol=1e-4)
+
+
+def test_presets_shapes():
+    assert g.PRESETS["gpt2"].n_layer == 12
+    assert g.PRESETS["gpt2-xl"].n_embd == 1600
