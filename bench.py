@@ -1,0 +1,91 @@
+"""Headline benchmark: SpeechT5-base speech-encoder embedding extraction.
+
+Measures RTFx (audio-seconds per wall-second) of the full encoder forward
+(conv feature encoder + transformer, the reference's hot loop at
+extract_speecht5_base_embeddings_slurp.py:104-108) on the available
+accelerator, and compares against the torch-CPU reference implementation
+of the same model measured in-process (the reference's own compute path:
+HF SpeechT5 on torch, batch size 2 per extract_*.py:67).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+vs_baseline = our RTFx / torch-CPU-reference RTFx (target >= 10 from
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 16
+SECONDS = 5.0     # SLURP-like utterance length
+SR = 16000
+STEPS = 20
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.models.speecht5 import model as st5
+    from loco_asr_tpu.models.speecht5.config import SpeechT5Config
+
+    cfg = SpeechT5Config()
+    params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    # bf16 params + compute: the TPU-native deployment dtype for frozen
+    # embedding extraction (MAE stays < 1e-3 vs fp32 at 768-dim scale).
+    fwd = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m)[0])
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((BATCH, int(SECONDS * SR))).astype(np.float32) * 0.1)
+    mask = jnp.ones(wav.shape, jnp.int32)
+
+    fwd(params, wav, mask).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = fwd(params, wav, mask)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    audio_seconds = STEPS * BATCH * SECONDS
+    return audio_seconds / dt
+
+
+def bench_torch_cpu() -> float:
+    """Reference path: HF SpeechT5 encoder on torch CPU, batch 2
+    (extract_*.py:67)."""
+    import torch
+    from transformers import SpeechT5Config as HFConfig
+    from transformers.models.speecht5.modeling_speecht5 import (
+        SpeechT5EncoderWithSpeechPrenet)
+
+    cfg = HFConfig()
+    model = SpeechT5EncoderWithSpeechPrenet(cfg).eval()
+    wav = torch.randn(2, int(SECONDS * SR)) * 0.1
+    with torch.no_grad():
+        model(wav)  # warmup
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            model(wav)
+        dt = time.perf_counter() - t0
+    return (n * 2 * SECONDS) / dt
+
+
+def main() -> int:
+    ours = bench_jax()
+    ref = bench_torch_cpu()
+    print(json.dumps({
+        "metric": "speecht5_base_encoder_rtfx",
+        "value": round(ours, 1),
+        "unit": "audio_seconds/second",
+        "vs_baseline": round(ours / ref, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,78 @@
+"""Device mesh construction and axis conventions.
+
+The reference has no distributed layer at all (single
+torch.device("cuda"/"cpu") everywhere — SURVEY.md §2.3); this subsystem is
+new, built the TPU way: one ``jax.sharding.Mesh`` whose named axes carry
+all parallelism, with XLA inserting collectives over ICI/DCN from sharding
+annotations.
+
+Axis conventions (MeshAxes):
+  data    -- pure data parallelism (gradients psum over ICI/DCN)
+  fsdp    -- data parallelism with parameter sharding (ZeRO-3 style:
+             params all-gathered per layer, grads reduce-scattered)
+  tensor  -- megatron-style tensor parallelism inside attention/FFN blocks
+  (sequence parallelism for conversation-scale attention rides the same
+  mesh via ops/pallas ring attention; no separate axis is reserved until
+  a workload needs simultaneous TP+SP.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshAxes:
+    data: str = "data"
+    fsdp: str = "fsdp"
+    tensor: str = "tensor"
+
+    @property
+    def names(self) -> Tuple[str, str, str]:
+        return (self.data, self.fsdp, self.tensor)
+
+
+AXES = MeshAxes()
+
+
+def make_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, fsdp, tensor) mesh.  ``-1`` absorbs remaining devices.
+
+    Device order follows jax.devices(), which enumerates ICI-contiguous
+    devices adjacently — keeping tensor (the chattiest axis) innermost so
+    its collectives ride the shortest ICI hops.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    dims = [data, fsdp, tensor]
+    known = int(np.prod([d for d in dims if d > 0]))
+    for i, d in enumerate(dims):
+        if d == -1:
+            if n % known:
+                raise ValueError(f"{n} devices not divisible by {known}")
+            dims[i] = n // known
+            known *= dims[i]
+            break
+    if int(np.prod(dims)) != n:
+        raise ValueError(f"mesh {dims} != {n} devices")
+    grid = np.asarray(devs).reshape(dims)
+    return Mesh(grid, AXES.names)
+
+
+def named(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-axis sharding over data x fsdp (the combined DP width)."""
+    return NamedSharding(mesh, P((AXES.data, AXES.fsdp)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,82 @@
+"""Sharded training steps (DP/FSDP/TP via jit + NamedSharding).
+
+One compiled program per step: loss -> grad -> optimizer update, with
+parameters/optimizer state sharded by partition.TRANSFORMER_RULES and the
+batch sharded over the combined data axes.  XLA inserts the all-gathers /
+reduce-scatters (FSDP) and psums (TP/DP) from the sharding annotations —
+the framework never writes a collective by hand here (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.speecht5 import model as st5
+from ..models.speecht5.config import SpeechT5Config
+from . import partition
+from .mesh import AXES, data_sharding
+
+
+def adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01,
+          warmup_steps: int = 0, total_steps: Optional[int] = None) -> optax.GradientTransformation:
+    if warmup_steps or total_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps or warmup_steps * 10)
+    else:
+        sched = learning_rate
+    return optax.adamw(sched, weight_decay=weight_decay)
+
+
+def reference_adam(learning_rate: float = 1e-3, weight_decay: float = 1e-4):
+    """torch Adam(lr, weight_decay) parity: L2 added to grads before the
+    moment updates (train_classifier.py:68)."""
+    return optax.chain(optax.add_decayed_weights(weight_decay),
+                       optax.scale_by_adam(), optax.scale(-learning_rate))
+
+
+def make_asr_train_step(
+    cfg: SpeechT5Config,
+    mesh: Mesh,
+    tx: optax.GradientTransformation,
+    *,
+    donate: bool = True,
+) -> Callable:
+    """Returns jit'd step(params, opt_state, batch, rng) -> (params,
+    opt_state, metrics); fully sharded (params: FSDP/TP, batch: DP)."""
+
+    def loss_fn(params, batch, rng):
+        loss, aux = st5.asr_loss(
+            params, cfg, batch["input_values"], batch["attention_mask"],
+            batch["labels"], deterministic=False, rng=rng)
+        return loss, aux
+
+    def step(params, opt_state, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm, **aux}
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    sh = data_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def init_sharded(init_fn: Callable, rng, cfg, mesh: Mesh,
+                 rules=partition.TRANSFORMER_RULES) -> Dict:
+    """Initialize parameters directly with their target shardings (avoids a
+    host-memory replica of the full model: jit + out_shardings)."""
+    abstract = jax.eval_shape(partial(init_fn, rng=rng, cfg=cfg))
+    shardings = partition.sharding_tree(abstract, mesh, rules)
+    return jax.jit(lambda r: init_fn(rng=r, cfg=cfg),
+                   out_shardings=shardings)(rng)
