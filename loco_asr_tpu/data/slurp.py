@@ -91,10 +91,12 @@ def onehot_intent(label: str, dtype=np.float32) -> np.ndarray:
     return v
 
 
-def batched(dataset: SlurpDataset, batch_size: int,
+def batched(examples: Sequence[SlurpExample], batch_size: int,
             shuffle: bool = False, seed: int = 0) -> Iterator[List[SlurpExample]]:
-    order = np.arange(len(dataset))
+    if isinstance(examples, SlurpDataset):
+        examples = examples.examples
+    order = np.arange(len(examples))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     for i in range(0, len(order), batch_size):
-        yield [dataset.examples[j] for j in order[i:i + batch_size]]
+        yield [examples[j] for j in order[i:i + batch_size]]

@@ -1,0 +1,150 @@
+"""Tokenizers: first-party GPT-2 byte-level BPE + simple fallbacks.
+
+The reference delegates tokenization to HF GPT2TokenizerFast
+(eval_ppl_with_pretrained_lm.py:65); this module implements the same
+byte-level BPE algorithm from vocab.json + merges.txt directly so the
+framework has no tokenizer dependency.  API matches the reference usage:
+``tokenizer(text)["input_ids"]`` plus bos/eos token-id attributes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+import regex as re
+
+# GPT-2 pre-tokenization pattern (public constant of the BPE scheme).
+_GPT2_SPLIT = re.compile(
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+
+@lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """Reversible byte -> printable-unicode map (GPT-2 scheme: printable
+    ASCII/latin-1 kept, the rest remapped above U+0100)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def _get_pairs(word: Tuple[str, ...]):
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+class GPT2BPETokenizer:
+    """Byte-level BPE from vocab.json + merges.txt (GPT-2 family)."""
+
+    def __init__(self, vocab: Dict[str, int], merges: List[Tuple[str, str]],
+                 bos_token: str = "<|endoftext|>", eos_token: str = "<|endoftext|>"):
+        self.encoder = vocab
+        self.decoder = {v: k for k, v in vocab.items()}
+        self.bpe_ranks = {pair: i for i, pair in enumerate(merges)}
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.bos_token_id = vocab[bos_token]
+        self.eos_token_id = vocab[eos_token]
+        self._cache: Dict[str, Tuple[str, ...]] = {}
+
+    @classmethod
+    def from_files(cls, vocab_file: str, merges_file: str, **kw) -> "GPT2BPETokenizer":
+        with open(vocab_file, encoding="utf-8") as f:
+            vocab = json.load(f)
+        merges = []
+        with open(merges_file, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#version"):
+                    continue
+                a, b = line.split()
+                merges.append((a, b))
+        return cls(vocab, merges, **kw)
+
+    @classmethod
+    def from_pretrained_dir(cls, path: str, **kw) -> "GPT2BPETokenizer":
+        return cls.from_files(os.path.join(path, "vocab.json"),
+                              os.path.join(path, "merges.txt"), **kw)
+
+    def _bpe(self, token: str) -> Tuple[str, ...]:
+        if token in self._cache:
+            return self._cache[token]
+        word: Tuple[str, ...] = tuple(token)
+        pairs = _get_pairs(word)
+        while pairs:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            a, b = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(a, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                if j < len(word) - 1 and word[j + 1] == b:
+                    new_word.append(a + b)
+                    i = j + 2
+                else:
+                    new_word.append(word[j])
+                    i = j + 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        self._cache[token] = word
+        return word
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for tok in _GPT2_SPLIT.findall(text):
+            mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[p] for p in self._bpe(mapped))
+        return ids
+
+    def decode(self, ids: List[int]) -> str:
+        text = "".join(self.decoder[i] for i in ids)
+        data = bytearray(self.byte_decoder[c] for c in text)
+        return data.decode("utf-8", errors="replace")
+
+    def __call__(self, text: str) -> Dict[str, List[int]]:
+        return {"input_ids": self.encode(text)}
+
+
+class CharTokenizer:
+    """Character-level fallback (tests / vocab-free smoke runs)."""
+
+    def __init__(self, vocab_size: int = 256, bos_token_id: int = 0,
+                 eos_token_id: int = 1):
+        self.vocab_size = vocab_size
+        self.bos_token_id = bos_token_id
+        self.eos_token_id = eos_token_id
+
+    def encode(self, text: str) -> List[int]:
+        lo = 2
+        span = self.vocab_size - lo
+        return [lo + (b % span) for b in text.encode("utf-8")]
+
+    def __call__(self, text: str) -> Dict[str, List[int]]:
+        return {"input_ids": self.encode(text)}
+
+
+def load_tokenizer(spec: str):
+    """'char' | path to a dir holding vocab.json+merges.txt | path prefix."""
+    if spec == "char":
+        return CharTokenizer()
+    if os.path.isdir(spec):
+        return GPT2BPETokenizer.from_pretrained_dir(spec)
+    raise ValueError(f"unknown tokenizer spec: {spec}")

@@ -1,0 +1,195 @@
+"""Evaluate GPT-2 perplexity on Fisher transcripts — the reference's
+lms/src/eval_ppl_with_pretrained_lm.py rebuilt TPU-native.
+
+CLI parity (ref :168-247): --in_file/-i, --out_dir/-o, --bsize, --model
+{gpt2,gpt2-medium,gpt2-large,gpt2-xl}, --context_type {indep,max_len},
+--verbose/-v, --download_only; extensions: --checkpoint (local weights,
+this container is egress-free), --tokenizer, --max_len, --limit_recordings.
+
+Numerics contract:
+  indep   : per-utterance token NLLs from shifted logits (ref :78-97)
+  max_len : per recording, all T-1 NLLs of the first max_len window, then
+            the LAST token's NLL of every stride-1 window (ref :98-144) —
+            reproduced exactly, including the window set (so both reference
+            quirks, see data/lm_datasets.py, carry over).
+
+TPU redesign of the hot loops: indep mode scores padded length-buckets
+with masked NLL (identical numbers, ~1 compile per bucket); max_len mode
+materializes each recording's window matrix and scores fixed-shape
+[bsize, max_len] batches, keeping the device busy instead of the
+reference's ragged python-list batches.
+
+Artifacts: rec_id2nlls.pkl + rec_id2ppl.json + timestamped log
+(ref :158-162), same aggregate log line (utils.py:230-232).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+
+def parse_arguments(argv=None):
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--in_file", "-in_file", "-i", required=True,
+                   help="path to input text file on which PPL shall be computed")
+    p.add_argument("--out_dir", "-o", required=True,
+                   help="path to out dir where results are stored")
+    p.add_argument("--bsize", "--batch_size", "-bsize", "-batch_size",
+                   "--sb", "-sb", type=int, default=128, help="max batch size")
+    p.add_argument("--model", "-model", "-m", type=str, default="gpt2",
+                   choices=["gpt2", "gpt2-medium", "gpt2-large", "gpt2-xl",
+                            "tiny"])
+    p.add_argument("--context_type", "-context_type", "--ct", "-ct",
+                   choices=["indep", "max_len"], default="indep")
+    p.add_argument("--checkpoint", default=None,
+                   help="local GPT-2 weights (.bin/.safetensors/.npz); "
+                        "random init if omitted (smoke mode)")
+    p.add_argument("--tokenizer", default="char",
+                   help="'char' or dir with vocab.json+merges.txt")
+    p.add_argument("--max_len", type=int, default=None,
+                   help="context window (default: model n_positions)")
+    p.add_argument("--download_only", action="store_true",
+                   help="kept for CLI parity; no-op in the egress-free build")
+    p.add_argument("--no_cuda", action="store_true",
+                   help="kept for CLI parity; device selection is via JAX")
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--limit_recordings", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def load_gpt2_params(checkpoint, cfg, rng=None):
+    import jax
+
+    from ..models.gpt2 import import_torch, model as g
+    from ..utils import checkpoint as ckpt_util
+
+    if checkpoint is None:
+        return g.gpt2_init(rng or jax.random.PRNGKey(0), cfg)
+    if os.path.isdir(checkpoint):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            path = os.path.join(checkpoint, name)
+            if os.path.exists(path):
+                checkpoint = path
+                break
+    if checkpoint.endswith(".npz"):
+        return ckpt_util.load_npz(checkpoint)
+    if checkpoint.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return import_torch.load_hf_gpt2(load_file(checkpoint))
+    import torch
+    return import_torch.load_hf_gpt2(
+        torch.load(checkpoint, map_location="cpu", weights_only=False))
+
+
+def main(argv=None) -> int:
+    args = parse_arguments(argv)
+    if args.download_only:
+        print("download_only is a no-op in the egress-free TPU build",
+              file=sys.stderr)
+        return 0
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import lm_datasets, tokenizer as tok_lib
+    from ..models.gpt2 import model as g
+    from ..utils.metrics import create_logger
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    path_out_dir = Path(args.out_dir)
+    base = os.path.basename(args.in_file).rsplit(".", 1)[0]
+    pfx = f"{args.model}_{args.context_type}_{base}"
+    logger = create_logger(str(path_out_dir / f"{pfx}.log"), args.verbose)
+
+    tokenizer = tok_lib.load_tokenizer(args.tokenizer)
+    if args.model == "tiny":
+        cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=64, n_embd=32,
+                                 n_head=4)
+    else:
+        cfg = g.PRESETS[args.model]
+    if args.tokenizer == "char" and args.model != "tiny":
+        cfg = g.GPT2Config(**{**cfg.__dict__, "vocab_size": 256})
+    params = load_gpt2_params(args.checkpoint, cfg)
+    max_len = args.max_len or cfg.n_positions
+
+    score = jax.jit(lambda p, ids: g.token_nll(
+        g.gpt2_logits(p, cfg, ids)[0], ids))
+
+    nlls: List[List[float]] = []
+    stime = time.time()
+
+    if args.context_type == "indep":
+        dataset = lm_datasets.IndepTextDataset(args.in_file, tokenizer,
+                                               batch_size=args.bsize)
+        ids_order = dataset.utt_ids
+        for ids, lens, _ in dataset.padded_batches(args.bsize):
+            batch_nll = np.asarray(score(params, jnp.asarray(ids)))
+            for row, L in zip(batch_nll, lens):
+                nlls.append(row[: L - 1].tolist())
+    elif args.context_type == "max_len":
+        dataset = lm_datasets.MaxLenTextDataset(args.in_file, tokenizer,
+                                                max_len=max_len,
+                                                batch_size=args.bsize)
+        ids_order = []
+        recs = list(dataset.rec_id2tokens.items())
+        if args.limit_recordings:
+            recs = recs[: args.limit_recordings]
+        for r, (rec_id, tokens) in enumerate(recs):
+            print(f"\r recording {r+1}/{len(recs)} ({len(tokens)} tokens)",
+                  end=" ", file=sys.stderr)
+            T = len(tokens)
+            if T < max_len:
+                row = np.asarray(score(
+                    params, jnp.asarray(np.asarray(tokens, np.int32)[None])))
+                nlls.append(row[0].tolist())
+                ids_order.append(rec_id)
+                continue
+            windows = dataset.recording_windows(tokens)
+            if len(windows) == 0:
+                continue  # reference quirk: T == max_len yields nothing
+            first_nll = np.asarray(score(
+                params, jnp.asarray(windows[0][None])))[0]
+            nlls.append(first_nll.tolist())
+            ids_order.append(rec_id)
+            rest = windows[1:]
+            for i in range(0, len(rest), args.bsize):
+                chunk = rest[i:i + args.bsize]
+                n = len(chunk)
+                if n < args.bsize:  # pad to the compiled batch shape
+                    pad = np.repeat(chunk[-1:], args.bsize - n, axis=0)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                out = np.asarray(score(params, jnp.asarray(chunk)))[:n, -1]
+                nlls.extend([[float(v)] for v in out])
+                ids_order.extend([rec_id] * n)
+        print(file=sys.stderr)
+    else:
+        raise ValueError(args.context_type)
+
+    assert len(nlls) == len(ids_order), f"nlls {len(nlls)} != ids {len(ids_order)}"
+    rec_id2nlls, rec_id2ppl = lm_datasets.compute_ppl_per_recording(nlls, ids_order)
+    ppls = list(rec_id2ppl.values())
+    logger.info(
+        f"Avg. PPL of recordings: {np.mean(ppls):.2f} std.dev: {np.std(ppls):.2f} "
+        f"min PPL: {np.min(ppls):.2f} max PPL: {np.max(ppls):.2f}")
+
+    with open(path_out_dir / "rec_id2nlls.pkl", "wb") as f:
+        pickle.dump(rec_id2nlls, f)
+    with open(path_out_dir / "rec_id2ppl.json", "w", encoding="utf-8") as f:
+        json.dump(rec_id2ppl, f, indent=2, ensure_ascii=False)
+    logger.info(f"Saved in {args.out_dir} Time taken {time.time() - stime:.2f} sec")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""End-to-end pipeline tests on synthetic data: extract -> train -> eval,
+plus the max_len PPL numerics-equivalence proof against a direct
+re-execution of the reference algorithm."""
+
+import json
+import os
+import pickle
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# fixtures: tiny synthetic SLURP + Fisher text
+# ---------------------------------------------------------------------------
+
+def _write_wav(path, seconds=0.4, seed=0):
+    rng = np.random.default_rng(seed)
+    pcm = (rng.standard_normal(int(16000 * seconds)) * 3000).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def slurp_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("slurp")
+    (root / "dataset/slurp").mkdir(parents=True)
+    real = root / "audio/slurp_real"
+    synth = root / "audio/slurp_synth"
+    real.mkdir(parents=True)
+    synth.mkdir(parents=True)
+    intents = ["alarm_set", "play_music", "weather_query"]
+    for split, audio_dir, n in (("train", real, 9), ("train_synthetic", synth, 6),
+                                ("devel", real, 6), ("test", real, 6)):
+        with open(root / "dataset/slurp" / f"{split}.jsonl", "w") as f:
+            for i in range(n):
+                fname = f"{split}_{i}.wav"
+                _write_wav(audio_dir / fname, seconds=0.3 + 0.05 * (i % 3), seed=i)
+                f.write(json.dumps({
+                    "slurp_id": 1000 * hash(split) % 97 + i,
+                    "sentence": f"sample sentence number {i}",
+                    "intent": intents[i % 3],
+                    "recordings": [{"file": fname}],
+                }) + "\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def fisher_text(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fisher") / "text"
+    rng = np.random.default_rng(0)
+    lines = []
+    words = ["yeah", "so", "the", "topic", "is", "music", "i", "think",
+             "right", "well", "um", "okay"]
+    for rec in ("fe_03_00001", "fe_03_00002"):
+        t = 100
+        for u in range(12):
+            n = int(rng.integers(3, 9))
+            text = " ".join(rng.choice(words, n))
+            side = "A" if u % 2 == 0 else "B"
+            lines.append(f"{rec}-{side}-{t:06d}-{t+80:06d} {text}")
+            t += 100
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+# ---------------------------------------------------------------------------
+# extract -> train
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fmt", ["npz", "pickle"])
+def test_extract_embeddings_audio(slurp_root, tmp_path, fmt, monkeypatch):
+    from loco_asr_tpu.pipelines import extract_embeddings
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / f"emb_{fmt}"
+    rc = extract_embeddings.main([
+        "-m", "audio", "-s", "train", "--data_path", slurp_root,
+        "--out_dir", str(out), "--batch_size", "4", "--format", fmt,
+        "--limit", "6"])
+    assert rc == 0
+    if fmt == "npz":
+        from loco_asr_tpu.data.embedding_store import EmbeddingStore
+        store = EmbeddingStore(str(out))
+        assert len(store) == 6
+        _, emb, tgt = store[0]
+        assert emb.shape[-1] == 768 and tgt.shape == (101,)
+        assert emb.shape[0] > 0
+    else:
+        files = os.listdir(out)
+        assert len(files) == 6
+        with open(out / files[0], "rb") as f:
+            d = pickle.load(f)
+        assert set(d) == {"id", "embedding", "target"}
+
+
+def test_extract_then_train_classifier(slurp_root, tmp_path, monkeypatch):
+    from loco_asr_tpu.pipelines import extract_embeddings, train_classifier
+
+    monkeypatch.chdir(tmp_path)
+    for split in ("train", "train_synthetic", "devel", "test"):
+        rc = extract_embeddings.main([
+            "-m", "audio", "-s", split, "--data_path", slurp_root,
+            "--batch_size", "4"])
+        assert rc == 0
+    rc = train_classifier.main([
+        "-m", "audio", "-p", "attention", "-v", "fine_tuned",
+        "--epochs", "2", "--batch_size", "4", "--print_every", "1"])
+    assert rc == 0
+    # artifact parity layout
+    assert os.path.exists("results/fine_tuned/audio/attention/logs/results.txt")
+    assert os.path.exists("results/fine_tuned/audio/attention/plots/losses.png")
+    assert os.path.exists(
+        "checkpoints/fine_tuned/audio/attention/speecht5_attention_audio_best.npz")
+    txt = open("results/fine_tuned/audio/attention/logs/results.txt").read()
+    assert "###### Epoch [1/2]" in txt and "Validation accuracy" in txt
+
+
+# ---------------------------------------------------------------------------
+# eval_ppl
+# ---------------------------------------------------------------------------
+
+def test_eval_ppl_indep(fisher_text, tmp_path):
+    from loco_asr_tpu.pipelines import eval_ppl
+
+    out = tmp_path / "indep"
+    rc = eval_ppl.main(["-i", fisher_text, "-o", str(out), "--model", "tiny",
+                        "--context_type", "indep", "--bsize", "8"])
+    assert rc == 0
+    with open(out / "rec_id2ppl.json") as f:
+        ppl = json.load(f)
+    assert set(ppl) == {"fe_03_00001", "fe_03_00002"}
+    assert all(np.isfinite(v) and v > 1 for v in ppl.values())
+    with open(out / "rec_id2nlls.pkl", "rb") as f:
+        nlls = pickle.load(f)
+    # indep: every utterance contributes len(tokens)-1 nlls (bos+text+eos)
+    total = sum(len(v) for v in nlls.values())
+    assert total > 0
+
+
+def test_eval_ppl_max_len_matches_reference_algorithm(fisher_text, tmp_path):
+    """Our batched max_len scorer must produce the same per-recording NLL
+    lists as a direct re-execution of the reference's stride-1 loop."""
+    from loco_asr_tpu.data import lm_datasets
+    from loco_asr_tpu.data.tokenizer import CharTokenizer
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.pipelines import eval_ppl
+
+    max_len = 24
+    out = tmp_path / "maxlen"
+    rc = eval_ppl.main(["-i", fisher_text, "-o", str(out), "--model", "tiny",
+                        "--context_type", "max_len", "--bsize", "7",
+                        "--max_len", str(max_len)])
+    assert rc == 0
+    with open(out / "rec_id2nlls.pkl", "rb") as f:
+        got = pickle.load(f)
+
+    # reference algorithm, re-executed with the same model weights
+    cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=64, n_embd=32, n_head=4)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    tok = CharTokenizer()
+    ds = lm_datasets.MaxLenTextDataset(fisher_text, tok, max_len=max_len,
+                                       batch_size=5)
+    want = {}
+    for batch, rec_ids, first, last in ds:
+        ids = jnp.asarray(np.asarray(batch, np.int32))
+        nll = np.asarray(g.token_nll(g.gpt2_logits(params, cfg, ids)[0], ids))
+        if first:
+            want.setdefault(rec_ids[0], []).extend(nll[0].tolist())
+        else:
+            for r, row in zip(rec_ids, nll):
+                want.setdefault(r, []).append(float(row[-1]))
+
+    assert set(got) == set(want)
+    for rec in got:
+        np.testing.assert_allclose(got[rec], want[rec], atol=1e-4, rtol=1e-4)
+
+
+def test_eval_ppl_cli_parity_flags(fisher_text, tmp_path):
+    """The reference's flags parse and behave (download_only exits 0)."""
+    from loco_asr_tpu.pipelines import eval_ppl
+
+    assert eval_ppl.main(["-i", fisher_text, "-o", str(tmp_path / "x"),
+                          "--download_only"]) == 0
+    args = eval_ppl.parse_arguments(["-i", "f", "-o", "d", "-sb", "32",
+                                     "--ct", "max_len", "--no_cuda", "-v"])
+    assert args.bsize == 32 and args.context_type == "max_len"
