@@ -1,0 +1,84 @@
+"""Pallas kernel parity tests (interpret mode on CPU; the same kernels
+compile to Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from loco_asr_tpu.ops.pallas import flash_attention, fused_log_mel
+from loco_asr_tpu.ops import audio
+
+
+def _dense_attention(q, k, v, causal=True, scale=None):
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if causal:
+        tq, tk = q.shape[2], k.shape[2]
+        mask = jnp.arange(tk)[None, :] <= jnp.arange(tq)[:, None]
+        s = jnp.where(mask[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("t,block", [(64, 16), (100, 32), (256, 128)])
+def test_flash_attention_causal_matches_dense(t, block):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 3, t, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 3, t, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 3, t, 64)).astype(np.float32))
+    want = _dense_attention(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True, block_q=block, block_k=block,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_noncausal_matches_dense():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 2, 64, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 128, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 128, 32)).astype(np.float32))
+    want = _dense_attention(q, k, v, causal=False)
+    got = flash_attention(q, k, v, causal=False, block_q=32, block_k=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_padded_tail_is_exact_for_valid_rows():
+    """T not a multiple of the block: padded key rows must not leak into
+    valid queries (causal guarantees it)."""
+    rng = np.random.default_rng(2)
+    t = 70
+    q = jnp.asarray(rng.standard_normal((1, 1, t, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 1, t, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 1, t, 32)).astype(np.float32))
+    want = _dense_attention(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True, block_q=32, block_k=32,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_log_mel_matches_reference_path():
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    want = audio.log_mel_spectrogram(wav)
+    got = fused_log_mel(wav, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_log_mel_matches_hf():
+    pytest.importorskip("transformers")
+    from transformers.models.speecht5.feature_extraction_speecht5 import (
+        SpeechT5FeatureExtractor)
+    fe = SpeechT5FeatureExtractor()
+    rng = np.random.default_rng(4)
+    wav = (rng.standard_normal(6400) * 0.1).astype(np.float32)
+    want = fe._extract_mel_features(wav)
+    got = np.asarray(fused_log_mel(jnp.asarray(wav), interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
