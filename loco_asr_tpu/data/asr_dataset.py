@@ -1,0 +1,138 @@
+"""ASR training dataset over Kaldi-format data dirs.
+
+Consumes the manifests the Fisher prep emits (text + wav.scp + segments,
+data/fisher_prep.py / reference fisher_data_prep.sh): resolves each
+utterance to (waveform, transcript), handling
+  * direct audio paths in wav.scp,
+  * command pipes ('... |', e.g. our sph_decode or sph2pipe lines),
+  * segments-based cropping (start/end seconds into the recording).
+
+Batching is length-bucketed (audio seconds) so padded device batches keep
+MXU utilization high with a handful of static shapes.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import subprocess
+import wave as wave_mod
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops import audio as audio_ops
+from . import kaldi
+
+
+@dataclass
+class AsrExample:
+    utt_id: str
+    text: str
+    reco_id: str
+    start: float   # seconds; -1 = whole recording
+    end: float
+
+
+class KaldiAsrDataset:
+    def __init__(self, data_dir: str, target_sr: int = 16000):
+        self.data_dir = data_dir
+        self.target_sr = target_sr
+        self.text = kaldi.read_key_value_file(os.path.join(data_dir, "text"))
+        self.wav_scp = kaldi.read_key_value_file(os.path.join(data_dir, "wav.scp"))
+        seg_path = os.path.join(data_dir, "segments")
+        self.segments = kaldi.read_segments(seg_path) if os.path.exists(seg_path) else {}
+        self.examples: List[AsrExample] = []
+        for utt_id, text in self.text.items():
+            if utt_id in self.segments:
+                reco, start, end = self.segments[utt_id]
+            else:
+                reco, start, end = utt_id, -1.0, -1.0
+            if reco in self.wav_scp:
+                self.examples.append(AsrExample(utt_id, text, reco, start, end))
+        self._reco_cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.examples)
+
+    def _load_recording(self, reco_id: str) -> np.ndarray:
+        if reco_id in self._reco_cache:
+            return self._reco_cache[reco_id]
+        rxspec = self.wav_scp[reco_id].strip()
+        if rxspec.endswith("|"):
+            raw = subprocess.run(rxspec[:-1], shell=True, check=True,
+                                 capture_output=True).stdout
+            with wave_mod.open(io.BytesIO(raw)) as w:
+                rate = w.getframerate()
+                pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+                if w.getnchannels() > 1:
+                    pcm = pcm.reshape(-1, w.getnchannels()).mean(1).astype(np.int16)
+            wav = pcm.astype(np.float32) / 32768.0
+            if rate != self.target_sr:
+                wav = audio_ops.resample(wav, rate, self.target_sr)
+        else:
+            wav, _ = audio_ops.load_audio(rxspec, self.target_sr)
+        if len(self._reco_cache) > 4:
+            self._reco_cache.pop(next(iter(self._reco_cache)))
+        self._reco_cache[reco_id] = wav
+        return wav
+
+    def load_waveform(self, ex: AsrExample) -> np.ndarray:
+        wav = self._load_recording(ex.reco_id)
+        if ex.start >= 0:
+            a = int(ex.start * self.target_sr)
+            b = int(ex.end * self.target_sr)
+            wav = wav[a:b]
+        return wav
+
+    def batches(
+        self, tokenizer, batch_size: int, *,
+        max_seconds: float = 20.0, max_label_len: int = 128,
+        shuffle: bool = False, seed: int = 0,
+        audio_multiple: int = 16000, label_multiple: int = 16,
+        bos_id: Optional[int] = None, eos_id: Optional[int] = None,
+        label_pad_id: int = -100,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield padded batches {input_values, attention_mask, labels,
+        utt_ids, texts}, length-sorted into buckets."""
+        order = sorted(
+            range(len(self.examples)),
+            key=lambda i: (self.examples[i].end - self.examples[i].start
+                           if self.examples[i].start >= 0 else 1e9))
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            blocks = [order[i:i + batch_size * 8]
+                      for i in range(0, len(order), batch_size * 8)]
+            rng.shuffle(blocks)
+            order = [i for b in blocks for i in b]
+
+        for i in range(0, len(order), batch_size):
+            idx = order[i:i + batch_size]
+            exs = [self.examples[j] for j in idx]
+            wavs, labels, texts = [], [], []
+            for ex in exs:
+                w = self.load_waveform(ex)
+                w = w[: int(max_seconds * self.target_sr)]
+                wavs.append(w)
+                ids = list(tokenizer(ex.text)["input_ids"])[: max_label_len - 1]
+                if bos_id is not None:
+                    ids.insert(0, bos_id)
+                if eos_id is not None:
+                    ids.append(eos_id)
+                labels.append(ids)
+                texts.append(ex.text)
+            if not wavs:
+                continue
+            t = max(max(len(w) for w in wavs), 1)
+            t = -(-t // audio_multiple) * audio_multiple
+            L = -(-max(len(l) for l in labels) // label_multiple) * label_multiple
+            x = np.zeros((len(wavs), t), np.float32)
+            mask = np.zeros((len(wavs), t), np.int32)
+            y = np.full((len(wavs), L), label_pad_id, np.int64)
+            for j, (w, l) in enumerate(zip(wavs, labels)):
+                x[j, :len(w)] = w
+                mask[j, :len(w)] = 1
+                y[j, :len(l)] = l
+            yield {"input_values": x, "attention_mask": mask, "labels": y,
+                   "utt_ids": [e.utt_id for e in exs], "texts": texts}

@@ -124,9 +124,13 @@ class GPT2BPETokenizer:
 
 
 class CharTokenizer:
-    """Character-level fallback (tests / vocab-free smoke runs)."""
+    """Byte-level fallback tokenizer (tests / vocab-free smoke runs).
 
-    def __init__(self, vocab_size: int = 256, bos_token_id: int = 0,
+    Fully invertible at the default vocab (2 specials + 256 bytes); with a
+    smaller vocab, bytes fold modulo the span and decode is best-effort.
+    """
+
+    def __init__(self, vocab_size: int = 258, bos_token_id: int = 0,
                  eos_token_id: int = 1):
         self.vocab_size = vocab_size
         self.bos_token_id = bos_token_id
@@ -136,6 +140,11 @@ class CharTokenizer:
         lo = 2
         span = self.vocab_size - lo
         return [lo + (b % span) for b in text.encode("utf-8")]
+
+    def decode(self, ids: List[int]) -> str:
+        data = bytes(i - 2 for i in ids
+                     if 2 <= i < self.vocab_size and i - 2 < 256)
+        return data.decode("utf-8", errors="replace")
 
     def __call__(self, text: str) -> Dict[str, List[int]]:
         return {"input_ids": self.encode(text)}

@@ -59,9 +59,10 @@ def make_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
             dims[i] = n // known
             known *= dims[i]
             break
-    if int(np.prod(dims)) != n:
-        raise ValueError(f"mesh {dims} != {n} devices")
-    grid = np.asarray(devs).reshape(dims)
+    want = int(np.prod(dims))
+    if want > n:
+        raise ValueError(f"mesh {dims} needs {want} devices, have {n}")
+    grid = np.asarray(devs[:want]).reshape(dims)
     return Mesh(grid, AXES.names)
 
 

@@ -67,7 +67,26 @@ def make_asr_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def pad_batch(batch: Dict[str, Any], multiple: int,
+              label_pad_id: int = -100) -> Dict[str, Any]:
+    """Pad the batch axis to a multiple of the DP width.  Padded rows carry
+    zero attention mask and all-pad labels, so they contribute nothing to
+    the loss."""
+    b = next(iter(batch.values())).shape[0]
+    pad = -b % multiple
+    if pad == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        fill = label_pad_id if k == "labels" else 0
+        widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = jnp.pad(jnp.asarray(v), widths, constant_values=fill)
+    return out
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    dp = mesh.shape[AXES.data] * mesh.shape[AXES.fsdp]
+    batch = pad_batch(batch, dp)
     sh = data_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 

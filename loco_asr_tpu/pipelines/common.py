@@ -44,7 +44,7 @@ def load_speecht5_params(checkpoint: Optional[str], variant: str, cfg, rng=None)
     from ..utils import checkpoint as ckpt_util
 
     init_fn = st5.asr_init if variant == "asr" else st5.tts_init
-    params = init_fn(rng or jax.random.PRNGKey(0), cfg)
+    params = init_fn(rng if rng is not None else jax.random.PRNGKey(0), cfg)
     if checkpoint is None:
         return params
 

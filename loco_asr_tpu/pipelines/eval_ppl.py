@@ -120,6 +120,8 @@ def main(argv=None) -> int:
         cfg = g.PRESETS[args.model]
     if args.tokenizer == "char" and args.model != "tiny":
         cfg = g.GPT2Config(**{**cfg.__dict__, "vocab_size": 256})
+    if args.tokenizer == "char":
+        tokenizer.vocab_size = cfg.vocab_size  # keep ids inside the model vocab
     params = load_gpt2_params(args.checkpoint, cfg)
     max_len = args.max_len or cfg.n_positions
 

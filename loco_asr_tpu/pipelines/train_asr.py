@@ -1,0 +1,196 @@
+"""Fine-tune SpeechT5 ASR on a Kaldi-format corpus (Fisher) — the training
+capability the reference designed its data layer for but never implemented
+(SURVEY L0 row: "by design intent, future ASR training").
+
+TPU-native trainer: (data, fsdp, tensor) mesh, sharded params + optimizer
+state, one jit'd train step (XLA collectives), orbax checkpointing WITH
+resume (fixing the reference's save-only gap), greedy-decode WER on the
+dev set each eval, structured JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train SpeechT5 ASR on Kaldi data (TPU)")
+    p.add_argument("--train_dir", required=True, help="Kaldi data dir (train)")
+    p.add_argument("--dev_dir", default=None, help="Kaldi data dir (dev)")
+    p.add_argument("--out_dir", default="exp/asr")
+    p.add_argument("--checkpoint", default=None,
+                   help="init weights (HF/.npz/fairseq); random if omitted")
+    p.add_argument("--tokenizer", default="char")
+    p.add_argument("--vocab_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=500)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--eval_every", type=int, default=1000)
+    p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--max_seconds", type=float, default=20.0)
+    p.add_argument("--max_label_len", type=int, default=128)
+    p.add_argument("--mesh", default="-1,1,1",
+                   help="data,fsdp,tensor mesh shape (-1 absorbs)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
+    p.add_argument("--decode_max_len", type=int, default=100)
+    p.add_argument("--eval_batches", type=int, default=20)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..data.asr_dataset import KaldiAsrDataset
+    from ..data.tokenizer import load_tokenizer
+    from ..decode.beam import greedy_decode
+    from ..models.speecht5 import model as st5
+    from ..models.speecht5.config import SpeechT5Config, tiny_config
+    from ..parallel import mesh as meshlib, partition, train
+    from ..utils.checkpoint import Checkpointer
+    from ..utils.metrics import MetricsWriter
+    from ..utils.wer import wer
+    from . import common
+
+    tokenizer = load_tokenizer(args.tokenizer)
+    if args.tokenizer == "char":
+        tokenizer.vocab_size = args.vocab_size
+
+    if args.tiny:
+        cfg = tiny_config(vocab_size=args.vocab_size, hidden_size=32,
+                          encoder_attention_heads=4, decoder_attention_heads=4,
+                          encoder_ffn_dim=64, decoder_ffn_dim=64)
+    else:
+        cfg = SpeechT5Config(vocab_size=args.vocab_size)
+
+    dims = [int(x) for x in args.mesh.split(",")]
+    mesh = meshlib.make_mesh(*dims)
+    print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
+
+    params = common.load_speecht5_params(args.checkpoint, "asr", cfg,
+                                         jax.random.PRNGKey(args.seed))
+    if args.dtype == "bfloat16":
+        from ..utils.pytree import cast_floating
+        params = cast_floating(params, jnp.bfloat16)
+    params = partition.shard_params(params, mesh)
+    tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps, args.steps)
+    opt_state = tx.init(params)
+    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False)
+
+    ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
+    metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
+    start_step = 0
+    if args.resume:
+        # pass the live state as the restore target so orbax rebuilds the
+        # optax NamedTuple structure instead of plain dicts
+        target = {"params": jax.device_get(params),
+                  "opt_state": jax.device_get(opt_state),
+                  "step": np.asarray(0)}
+        restored = ckpt.restore(target=target)
+        if restored is not None:
+            params = partition.shard_params(restored["params"], mesh)
+            opt_state = jax.tree_util.tree_map(jnp.asarray, restored["opt_state"])
+            start_step = int(restored["step"])
+            print(f"resumed at step {start_step}", file=sys.stderr)
+
+    train_ds = KaldiAsrDataset(args.train_dir)
+    dev_ds = KaldiAsrDataset(args.dev_dir) if args.dev_dir else None
+    print(f"train utts: {len(train_ds)}", file=sys.stderr)
+
+    bos, eos = cfg.bos_token_id, cfg.eos_token_id
+
+    def batch_stream(epoch):
+        yield from train_ds.batches(
+            tokenizer, args.batch_size, max_seconds=args.max_seconds,
+            max_label_len=args.max_label_len, shuffle=True,
+            seed=args.seed + epoch, eos_id=eos)
+
+    def run_eval(params, step):
+        if dev_ds is None:
+            return {}
+        enc_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+        dec_fn = jax.jit(lambda p, e, m: greedy_decode(
+            p, cfg, e, m, max_len=args.decode_max_len))
+        refs, hyps, losses, ntok = [], [], 0.0, 0
+        for bi, batch in enumerate(dev_ds.batches(
+                tokenizer, args.batch_size, max_seconds=args.max_seconds,
+                max_label_len=args.max_label_len, eos_id=eos)):
+            if bi >= args.eval_batches:
+                break
+            loss, aux = st5.asr_loss(
+                params, cfg, jnp.asarray(batch["input_values"]),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["labels"]), deterministic=True)
+            losses += float(aux["nll_sum"])
+            ntok += int(aux["ntokens"])
+            enc, msk = enc_fn(params, jnp.asarray(batch["input_values"]),
+                              jnp.asarray(batch["attention_mask"]))
+            toks, lens = dec_fn(params, enc, msk)
+            toks = np.asarray(toks)
+            for text, row, L in zip(batch["texts"], toks, np.asarray(lens)):
+                ids = [int(t) for t in row[:L] if int(t) != eos]
+                if hasattr(tokenizer, "decode"):
+                    hyp = tokenizer.decode(ids) if ids else ""
+                else:
+                    hyp = " ".join(map(str, ids))
+                    text = " ".join(map(str, (tokenizer(text)["input_ids"])))
+                refs.append(text)
+                hyps.append(hyp)
+        dev = {"dev_loss": losses / max(ntok, 1), "dev_wer": wer(refs, hyps)}
+        metrics.log(step=step, **dev)
+        print(f"step {step}: {dev}", file=sys.stderr)
+        return dev
+
+    rng = jax.random.PRNGKey(args.seed)
+    step = start_step
+    epoch = 0
+    t0 = time.perf_counter()
+    stream = batch_stream(epoch)
+    while step < args.steps:
+        try:
+            batch = next(stream)
+        except StopIteration:
+            epoch += 1
+            stream = batch_stream(epoch)
+            continue
+        rng, sub = jax.random.split(rng)
+        dev_batch = train.shard_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()
+             if k in ("input_values", "attention_mask", "labels")}, mesh)
+        params, opt_state, m = step_fn(params, opt_state, dev_batch, sub)
+        step += 1
+        if step % 50 == 0:
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            metrics.log(step=step, loss=float(m["loss"]),
+                        grad_norm=float(m["grad_norm"]),
+                        steps_per_sec=50.0 / dt)
+            print(f"step {step}: loss {float(m['loss']):.4f} "
+                  f"({50.0/dt:.2f} steps/s)", file=sys.stderr)
+        if step % args.eval_every == 0:
+            run_eval(params, step)
+        if step % args.save_every == 0 or step == args.steps:
+            ckpt.save(step, {"params": jax.device_get(params),
+                             "opt_state": jax.device_get(opt_state),
+                             "step": np.asarray(step)})
+    run_eval(params, step)
+    print("Training done!", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

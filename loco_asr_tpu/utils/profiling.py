@@ -1,0 +1,94 @@
+"""Profiling and tracing utilities (SURVEY §5: the reference has a single
+wall-clock delta; we provide first-class tracing + honest device timing).
+
+* trace(dir): context manager around jax.profiler (TensorBoard-format
+  traces of XLA execution).
+* annotate(name): TraceAnnotation for host-side spans.
+* device_time_per_iter(fn, *args): HONEST per-iteration device time via
+  chained-loop differencing — N iterations inside one jit'd fori_loop,
+  one host sync, two loop lengths differenced.  Required on relay-attached
+  TPUs where block_until_ready acks at dispatch (see bench.py and
+  .claude/skills/verify/SKILL.md).
+* StepTimer: rolling steps/sec + examples/sec meter for training loops.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    return jax.profiler.TraceAnnotation(name)
+
+
+def device_time_per_iter(fn: Callable, *args, iters: int = 20,
+                         warmup_iters: int = 2) -> float:
+    """Seconds per iteration of ``fn(*args) -> pytree`` measured on device.
+
+    ``fn`` must be a pure jax function of its args; a scalar carry is mixed
+    into the first argument each iteration so no two iterations compute
+    identical values (defeats any execution caching along the path).
+    """
+
+    def chained(n):
+        @jax.jit
+        def run(*a):
+            def body(i, carry):
+                perturbed = jax.tree_util.tree_map(
+                    lambda x: (x + carry * jnp.asarray(1e-9, x.dtype)
+                               if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                               else x),
+                    a[0])
+                out = fn(perturbed, *a[1:])
+                leaves = [l for l in jax.tree_util.tree_leaves(out)
+                          if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+                return leaves[0].ravel()[0].astype(jnp.float32) if leaves else carry
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
+
+    lo, hi = chained(warmup_iters), chained(warmup_iters + iters)
+    float(lo(*args))
+    float(hi(*args))
+    t0 = time.perf_counter()
+    float(lo(*args))
+    d_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(hi(*args))
+    d_hi = time.perf_counter() - t0
+    return max((d_hi - d_lo) / iters, 1e-9)
+
+
+class StepTimer:
+    """Rolling steps/sec + items/sec meter."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self._t0 = time.perf_counter()
+        self._steps = 0
+        self._items = 0
+
+    def step(self, items: int = 0) -> Optional[dict]:
+        self._steps += 1
+        self._items += items
+        if self._steps >= self.window:
+            dt = time.perf_counter() - self._t0
+            out = {"steps_per_sec": self._steps / dt,
+                   "items_per_sec": self._items / dt}
+            self._t0 = time.perf_counter()
+            self._steps = self._items = 0
+            return out
+        return None
