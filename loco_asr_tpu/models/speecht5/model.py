@@ -178,15 +178,17 @@ def tts_forward(
     *, deterministic: bool = True, rng: Optional[jax.Array] = None,
     prenet_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Teacher-forced TTS -> (mel_before, mel_after, stop_logits)."""
+    """Teacher-forced TTS -> (mel_before, mel_after, stop_logits).
+
+    ``decoder_input_values`` follows the HF convention: already
+    reduction-subsampled and right-shifted when training (see
+    :func:`shift_spectrograms_right`); raw decoder inputs otherwise.
+    """
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
     encoder_hidden = encode_text(params, cfg, input_ids, attention_mask,
                                  deterministic=deterministic, rng=r1)
-    # reduction factor: decoder sees every r-th frame
-    if cfg.reduction_factor > 1:
-        decoder_input_values = decoder_input_values[:, cfg.reduction_factor - 1::cfg.reduction_factor]
     dec_in = prenets.speech_decoder_prenet(params["decoder"]["prenet"], cfg,
                                            decoder_input_values,
                                            speaker_embeddings, rng=prenet_rng)
@@ -194,3 +196,89 @@ def tts_forward(
                             encoder_hidden, encoder_attention_mask=attention_mask,
                             deterministic=deterministic, dropout_rng=r2)
     return prenets.speech_decoder_postnet(params["speech_decoder_postnet"], cfg, hidden)
+
+
+def shift_spectrograms_right(mel: jnp.ndarray, reduction_factor: int = 1
+                             ) -> jnp.ndarray:
+    """Label mels -> decoder inputs: thin by the reduction factor, shift
+    right one step with a zero frame (HF shift_spectrograms_right parity)."""
+    if reduction_factor > 1:
+        mel = mel[:, reduction_factor - 1::reduction_factor]
+    zeros = jnp.zeros_like(mel[:, :1])
+    return jnp.concatenate([zeros, mel[:, :-1]], axis=1)
+
+
+def tts_generate(
+    params: Dict, cfg: SpeechT5Config,
+    input_ids: jnp.ndarray,
+    speaker_embeddings: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    *, threshold: float = 0.5, minlenratio: float = 0.0,
+    maxlenratio: float = 20.0, prenet_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Autoregressive mel synthesis -> (mel [B, T*r, mel], frame lengths).
+
+    Numerics contract: HF _generate_speech (modeling_speecht5.py:2289-2400)
+    — zero initial frame, per-step stop prob = sigmoid(prob_out) summed over
+    the reduction factor vs ``threshold``, residual conv postnet over the
+    finished spectrogram.  Runs as one lax.while_loop with fixed-shape
+    buffers and a decoder KV cache (the prenet is position-wise, so one
+    frame per step replaces HF's full-prefix prenet re-run).
+
+    The conv postnet here runs over the padded batch buffer; rows shorter
+    than the batch max can differ from HF in the last ~(kernel*layers)/2
+    frames before their stop (HF crops first).  Exact per-row parity:
+    crop to the returned length before the postnet with batch size 1.
+    """
+    if speaker_embeddings is None:
+        raise ValueError("speaker_embeddings must be specified")
+    if attention_mask is None:
+        attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+    b = input_ids.shape[0]
+    encoder_hidden = encode_text(params, cfg, input_ids, attention_mask)
+    t_enc = encoder_hidden.shape[1]
+    maxlen = int(t_enc * maxlenratio / cfg.reduction_factor)
+    minlen = int(t_enc * minlenratio / cfg.reduction_factor)
+    r = cfg.reduction_factor
+    mel = cfg.num_mel_bins
+
+    caches = dec.init_decode_cache(cfg, b, maxlen + 1, encoder_hidden.dtype)
+    spec_buf = jnp.zeros((b, maxlen * r, mel), encoder_hidden.dtype)
+
+    def body(state):
+        idx, frame, done, lengths, caches, spec_buf, rng = state
+        sub = None
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        dec_in = prenets.speech_decoder_prenet_step(
+            params["decoder"]["prenet"], cfg, frame, idx, speaker_embeddings,
+            rng=sub)
+        hidden, caches = dec.decoder(
+            params["decoder"]["wrapped_decoder"], cfg, dec_in[:, None, :],
+            encoder_hidden, encoder_attention_mask=attention_mask,
+            kv_caches=caches, cache_index=idx)
+        last = hidden[:, 0]                                   # [B, H]
+        spectrum = layers.dense(params["speech_decoder_postnet"]["feat_out"],
+                                last).reshape(b, r, mel)
+        spec_buf = jax.lax.dynamic_update_slice(spec_buf, spectrum,
+                                                (0, idx * r, 0))
+        prob = jax.nn.sigmoid(layers.dense(
+            params["speech_decoder_postnet"]["prob_out"], last))  # [B, r]
+        stop = (jnp.sum(prob, axis=-1) >= threshold) & (idx + 1 >= minlen)
+        newly_done = stop & ~done
+        lengths = jnp.where(newly_done, (idx + 1) * r, lengths)
+        done = done | stop
+        return idx + 1, spectrum[:, -1, :], done, lengths, caches, spec_buf, rng
+
+    def cond(state):
+        idx, _, done, *_ = state
+        return (idx < maxlen) & ~jnp.all(done)
+
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((b, mel), encoder_hidden.dtype),
+            jnp.zeros((b,), bool), jnp.full((b,), maxlen * r, jnp.int32),
+            caches, spec_buf, prenet_rng)
+    idx, _, done, lengths, _, spec_buf, _ = jax.lax.while_loop(cond, body, init)
+    lengths = jnp.where(done, lengths, idx * r)
+    refined = prenets.speech_decoder_postnet_conv(
+        params["speech_decoder_postnet"], cfg, spec_buf)
+    return refined, lengths

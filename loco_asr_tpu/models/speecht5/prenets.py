@@ -263,6 +263,39 @@ def speech_decoder_prenet(params: Dict, cfg: SpeechT5Config, input_values: jnp.n
     return x
 
 
+def speech_decoder_prenet_step(params: Dict, cfg: SpeechT5Config,
+                               frame: jnp.ndarray, idx: jnp.ndarray,
+                               speaker_embeddings: Optional[jnp.ndarray] = None,
+                               *, rng: Optional[jax.Array] = None,
+                               pe_table: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Single-position prenet: [B, mel] frame at position ``idx`` -> [B, H].
+
+    The prenet is position-wise (dense stack + positional add), so
+    evaluating one position equals evaluating the full sequence and
+    slicing — this is what makes the TTS generation loop O(T) instead of
+    re-running the prenet over the whole history (HF _generate_speech
+    re-runs it; numerics are identical).
+    """
+    x = frame
+    p_drop = cfg.speech_decoder_prenet_dropout
+    for i in range(cfg.speech_decoder_prenet_layers):
+        x = jax.nn.relu(layers.dense(params["layers"][str(i)], x))
+        if rng is not None and p_drop > 0:
+            rng, sub = jax.random.split(rng)
+            mask = jax.random.bernoulli(sub, p_drop, x.shape[1:])
+            x = jnp.where(mask[None], x, 0.0) / (1.0 - p_drop)
+    x = layers.dense(params["final_layer"], x)
+    pe = pe_table if pe_table is not None else layers.interleaved_sinusoidal_table(
+        cfg.max_speech_positions, cfg.hidden_size)
+    x = x + params["encode_positions"]["alpha"] * jnp.asarray(pe, x.dtype)[idx]
+    if speaker_embeddings is not None:
+        se = speaker_embeddings / jnp.linalg.norm(speaker_embeddings, axis=-1,
+                                                  keepdims=True)
+        x = jax.nn.relu(layers.dense(params["speaker_embeds_layer"],
+                                     jnp.concatenate([x, se], axis=-1)))
+    return x
+
+
 def speech_decoder_postnet_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> Dict:
     ks = jax.random.split(rng, cfg.speech_decoder_postnet_layers + 2)
     convs = {}
@@ -286,13 +319,10 @@ def speech_decoder_postnet_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> 
     }
 
 
-def speech_decoder_postnet(params: Dict, cfg: SpeechT5Config,
-                           hidden: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """[B, T, H] -> (mel_before [B, T*r, mel], mel_after, stop_logits [B, T*r])."""
-    b = hidden.shape[0]
-    before = layers.dense(params["feat_out"], hidden).reshape(b, -1, cfg.num_mel_bins)
-    logits = layers.dense(params["prob_out"], hidden).reshape(b, -1)
-    x = before.transpose(0, 2, 1)
+def speech_decoder_postnet_conv(params: Dict, cfg: SpeechT5Config,
+                                mel: jnp.ndarray) -> jnp.ndarray:
+    """Residual conv postnet: [B, T, mel] -> refined [B, T, mel]."""
+    x = mel.transpose(0, 2, 1)
     for i in range(cfg.speech_decoder_postnet_layers):
         p = params["layers"][str(i)]
         x = layers.conv1d(p["conv"], x, padding=(cfg.speech_decoder_postnet_kernel - 1) // 2)
@@ -301,5 +331,14 @@ def speech_decoder_postnet(params: Dict, cfg: SpeechT5Config,
         x = x * bn["scale"][None, :, None] + bn["bias"][None, :, None]
         if i < cfg.speech_decoder_postnet_layers - 1:
             x = jnp.tanh(x)
-    after = before + x.transpose(0, 2, 1)
+    return mel + x.transpose(0, 2, 1)
+
+
+def speech_decoder_postnet(params: Dict, cfg: SpeechT5Config,
+                           hidden: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[B, T, H] -> (mel_before [B, T*r, mel], mel_after, stop_logits [B, T*r])."""
+    b = hidden.shape[0]
+    before = layers.dense(params["feat_out"], hidden).reshape(b, -1, cfg.num_mel_bins)
+    logits = layers.dense(params["prob_out"], hidden).reshape(b, -1)
+    after = speech_decoder_postnet_conv(params, cfg, before)
     return before, after, logits
