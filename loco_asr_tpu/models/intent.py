@@ -27,12 +27,33 @@ POOLINGS = ("average", "max", "attention")
 
 
 def intent_classifier_init(rng, *, embedding_size: int = 768,
-                           num_classes: int = 101, dtype=jnp.float32) -> Dict:
+                           num_classes: int = 101, dtype=jnp.float32,
+                           hidden_dims: tuple = ()) -> Dict:
+    """``hidden_dims`` empty reproduces the reference's single Linear head;
+    non-empty builds the MLP variant (BASELINE config 2): Linear+GELU
+    blocks before the final projection."""
     kq, kc = jax.random.split(rng)
-    return {
-        "q": jax.random.normal(kq, (1, embedding_size), dtype) * 0.001,
-        "classifier": layers.dense_init(kc, embedding_size, num_classes, dtype=dtype),
-    }
+    p = {"q": jax.random.normal(kq, (1, embedding_size), dtype) * 0.001}
+    dims = [embedding_size, *hidden_dims, num_classes]
+    mlp = {}
+    for i in range(len(dims) - 1):
+        kc, sub = jax.random.split(kc)
+        mlp[str(i)] = layers.dense_init(sub, dims[i], dims[i + 1], dtype=dtype)
+    p["classifier"] = mlp if hidden_dims else mlp["0"]
+    return p
+
+
+def _classifier_head(params: Dict, pooled: jnp.ndarray) -> jnp.ndarray:
+    cls = params["classifier"]
+    if "kernel" in cls:  # single linear (reference head)
+        return layers.dense(cls, pooled)
+    n = len(cls)
+    x = pooled
+    for i in range(n):
+        x = layers.dense(cls[str(i)], x)
+        if i < n - 1:
+            x = layers.gelu(x)
+    return x
 
 
 def pool(params: Dict, x: jnp.ndarray, method: str,
@@ -67,7 +88,7 @@ def intent_forward(params: Dict, x: jnp.ndarray, *, method: str = "average",
                    lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """[B, T, D] embeddings -> [B, num_classes] logits."""
     pooled = pool(params, x, method, lengths)
-    return layers.dense(params["classifier"], pooled)
+    return _classifier_head(params, pooled)
 
 
 def intent_loss_and_acc(params: Dict, x: jnp.ndarray, onehot: jnp.ndarray, *,

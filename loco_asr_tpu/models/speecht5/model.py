@@ -198,6 +198,49 @@ def tts_forward(
     return prenets.speech_decoder_postnet(params["speech_decoder_postnet"], cfg, hidden)
 
 
+def s2s_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> Dict:
+    """Speech->speech (voice conversion) model: speech encoder prenet +
+    speech decoder pre/post nets (HF SpeechT5ForSpeechToSpeech layout,
+    demoed by reference notebook 1)."""
+    ks = jax.random.split(rng, 5)
+    return {
+        "encoder": {
+            "prenet": prenets.speech_prenet_init(ks[0], cfg, dtype),
+            "wrapped_encoder": enc.encoder_init(ks[1], cfg, dtype),
+        },
+        "decoder": {
+            "prenet": prenets.speech_decoder_prenet_init(ks[2], cfg, dtype),
+            "wrapped_decoder": dec.decoder_init(ks[3], cfg, dtype),
+        },
+        "speech_decoder_postnet": prenets.speech_decoder_postnet_init(ks[4], cfg, dtype),
+    }
+
+
+def s2s_forward(
+    params: Dict, cfg: SpeechT5Config,
+    input_values: jnp.ndarray,
+    decoder_input_values: jnp.ndarray,
+    speaker_embeddings: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    *, deterministic: bool = True, rng: Optional[jax.Array] = None,
+    prenet_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced voice conversion -> (mel_before, mel_after, stop)."""
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    encoder_hidden, enc_mask = encode_speech(params, cfg, input_values,
+                                             attention_mask,
+                                             deterministic=deterministic, rng=r1)
+    dec_in = prenets.speech_decoder_prenet(params["decoder"]["prenet"], cfg,
+                                           decoder_input_values,
+                                           speaker_embeddings, rng=prenet_rng)
+    hidden, _ = dec.decoder(params["decoder"]["wrapped_decoder"], cfg, dec_in,
+                            encoder_hidden, encoder_attention_mask=enc_mask,
+                            deterministic=deterministic, dropout_rng=r2)
+    return prenets.speech_decoder_postnet(params["speech_decoder_postnet"], cfg, hidden)
+
+
 def shift_spectrograms_right(mel: jnp.ndarray, reduction_factor: int = 1
                              ) -> jnp.ndarray:
     """Label mels -> decoder inputs: thin by the reduction factor, shift

@@ -52,6 +52,8 @@ def parse_args(argv=None):
                    help="pool over zero-padding like the reference")
     p.add_argument("--embedding_size", type=int, default=768)
     p.add_argument("--num_classes", type=int, default=101)
+    p.add_argument("--hidden_dims", type=int, nargs="*", default=[],
+                   help="MLP head hidden sizes (empty = reference linear head)")
     return p.parse_args(argv)
 
 
@@ -86,7 +88,7 @@ def main(argv=None) -> int:
 
     params = intent.intent_classifier_init(
         jax.random.PRNGKey(args.seed), embedding_size=args.embedding_size,
-        num_classes=args.num_classes)
+        num_classes=args.num_classes, hidden_dims=tuple(args.hidden_dims))
     tx = reference_adam(args.lr, args.weight_decay)
     opt_state = tx.init(params)
     method = args.pooling if args.pooling != "attention" else "attention"

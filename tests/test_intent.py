@@ -68,6 +68,19 @@ def test_masked_pooling_ignores_padding():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_mlp_head_variant():
+    rng = jax.random.PRNGKey(0)
+    params = intent.intent_classifier_init(rng, embedding_size=8, num_classes=5,
+                                           hidden_dims=(16, 12))
+    x = np.random.default_rng(0).standard_normal((3, 7, 8)).astype(np.float32)
+    out = intent.intent_forward(params, jnp.asarray(x), method="attention")
+    assert out.shape == (3, 5)
+    assert np.isfinite(np.asarray(out)).all()
+    # linear variant keeps the reference param layout
+    lin = intent.intent_classifier_init(rng, embedding_size=8, num_classes=5)
+    assert "kernel" in lin["classifier"]
+
+
 def test_training_step_reduces_loss():
     import optax
 
