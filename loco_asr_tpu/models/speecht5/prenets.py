@@ -81,10 +81,13 @@ def speech_prenet_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> Dict:
     return p
 
 
-def _sinusoidal_speech_table(cfg: SpeechT5Config) -> np.ndarray:
+def _sinusoidal_speech_table(cfg: SpeechT5Config,
+                             min_positions: int = 0) -> np.ndarray:
     # HF: SinusoidalPositionalEmbedding(max_speech_positions + pad + 1, ...,
-    # padding_idx=pad); internally adds offset 2 to num_positions.
-    num = cfg.max_speech_positions + cfg.pad_token_id + 1 + 2
+    # padding_idx=pad); internally adds offset 2 and EXPANDS on demand when
+    # the sequence outruns the table (make_weights in forward) — we size it
+    # to the actual sequence up front (static under jit).
+    num = max(cfg.max_speech_positions, min_positions) + cfg.pad_token_id + 1 + 2
     return layers.sinusoidal_table(num, cfg.hidden_size, padding_idx=cfg.pad_token_id)
 
 
@@ -148,7 +151,8 @@ def speech_prenet(
     hidden = hidden + pos
 
     # Sinusoidal absolute positions (fairseq make_positions semantics).
-    table = sinusoidal_table if sinusoidal_table is not None else _sinusoidal_speech_table(cfg)
+    table = (sinusoidal_table if sinusoidal_table is not None
+             else _sinusoidal_speech_table(cfg, min_positions=hidden.shape[1]))
     valid = attention_mask if attention_mask is not None else jnp.ones(hidden.shape[:2], jnp.int32)
     pos_ids = layers.positions_from_padding(valid, cfg.pad_token_id)
     hidden = hidden + jnp.take(jnp.asarray(table, hidden.dtype), pos_ids, axis=0)
@@ -188,8 +192,9 @@ def text_decoder_prenet_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> Dic
     }
 
 
-def _sinusoidal_text_table(cfg: SpeechT5Config) -> np.ndarray:
-    num = cfg.max_text_positions + cfg.pad_token_id + 1 + 2
+def _sinusoidal_text_table(cfg: SpeechT5Config,
+                           min_positions: int = 0) -> np.ndarray:
+    num = max(cfg.max_text_positions, min_positions) + cfg.pad_token_id + 1 + 2
     return layers.sinusoidal_table(num, cfg.hidden_size, padding_idx=cfg.pad_token_id)
 
 
@@ -202,9 +207,13 @@ def text_decoder_prenet(params: Dict, cfg: SpeechT5Config, input_ids: jnp.ndarra
     (create_position_ids_from_input_ids over the raw input ids).
     """
     scale = float(np.sqrt(cfg.hidden_size)) if cfg.scale_embedding else 1.0
-    t = table if table is not None else _sinusoidal_text_table(cfg)
+    t = table if table is not None else _sinusoidal_text_table(
+        cfg, min_positions=input_ids.shape[1])
     valid = (input_ids != cfg.pad_token_id)
     pos_ids = layers.positions_from_padding(valid, cfg.pad_token_id, past_length)
+    # past_length can be dynamic (KV decoding); clamp instead of the NaN
+    # fill jnp.take would produce out of range
+    pos_ids = jnp.minimum(pos_ids, len(t) - 1)
     emb = layers.embedding(params["embed_tokens"], input_ids) * scale
     return emb + jnp.take(jnp.asarray(t, emb.dtype), pos_ids, axis=0)
 
@@ -305,7 +314,6 @@ def speech_decoder_postnet_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> 
                   else cfg.speech_decoder_postnet_units)
         conv = layers.conv1d_init(ks[i], in_ch, out_ch, cfg.speech_decoder_postnet_kernel,
                                   bias=False, dtype=dtype)
-        del conv["bias"]
         convs[str(i)] = {
             "conv": conv,
             "batch_norm": {"scale": jnp.ones((out_ch,), dtype), "bias": jnp.zeros((out_ch,), dtype),

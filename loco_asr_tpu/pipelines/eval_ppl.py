@@ -65,6 +65,8 @@ def parse_arguments(argv=None):
                    help="kept for CLI parity; device selection is via JAX")
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--limit_recordings", type=int, default=None)
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard window batches over this many devices")
     return p.parse_args(argv)
 
 
@@ -127,6 +129,19 @@ def main(argv=None) -> int:
 
     score = jax.jit(lambda p, ids: g.token_nll(
         g.gpt2_logits(p, cfg, ids)[0], ids))
+    if args.data_parallel > 1:
+        from ..parallel import mesh as meshlib, train as ptrain
+
+        mesh = meshlib.make_mesh(data=args.data_parallel)
+        batch_sh = meshlib.data_sharding(mesh)
+        rep = meshlib.replicated(mesh)
+        params = jax.device_put(params, rep)
+        base_score = score
+
+        def score(p, ids):  # noqa: F811 — DP wrapper over the jit'd scorer
+            ids = ptrain.pad_batch({"ids": ids}, args.data_parallel)["ids"]
+            out = base_score(p, jax.device_put(ids, batch_sh))
+            return out
 
     nlls: List[List[float]] = []
     stime = time.time()

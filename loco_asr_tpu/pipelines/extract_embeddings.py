@@ -112,7 +112,11 @@ def main(argv=None) -> int:
         else:
             ids_list = [[cfg.bos_token_id] + tok(e.sentence)["input_ids"] + [cfg.eos_token_id]
                         for e in batch]
-            ids_list = [[i % cfg.vocab_size for i in ids] for ids in ids_list]
+            if args.tokenizer == "char":
+                # the byte fallback can exceed the SpeechT5 text vocab (81);
+                # fold into range (smoke mode only — real runs pass a
+                # vocab-matched tokenizer)
+                ids_list = [[i % cfg.vocab_size for i in ids] for ids in ids_list]
             max_len = common.round_up(max(len(i) for i in ids_list), 8)
             x = np.full((len(ids_list), max_len), cfg.pad_token_id, np.int32)
             mask = np.zeros((len(ids_list), max_len), np.int32)

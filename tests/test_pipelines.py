@@ -183,6 +183,57 @@ def test_eval_ppl_max_len_matches_reference_algorithm(fisher_text, tmp_path):
         np.testing.assert_allclose(got[rec], want[rec], atol=1e-4, rtol=1e-4)
 
 
+def test_eval_ppl_indep_padded_equals_exact_bins(fisher_text):
+    """The TPU padded-bucket scoring must produce per-utterance NLLs equal
+    to the reference's exact equal-length-bin batches (causal masking makes
+    right-padding inert)."""
+    from loco_asr_tpu.data import lm_datasets
+    from loco_asr_tpu.data.tokenizer import CharTokenizer
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=64, n_embd=32, n_head=4)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    tok = CharTokenizer()
+    ds = lm_datasets.IndepTextDataset(fisher_text, tok, batch_size=3)
+
+    # exact reference iteration: equal-length bins, no padding
+    exact = []
+    for batch in ds:
+        ids = jnp.asarray(np.asarray(batch, np.int32))
+        nll = np.asarray(g.token_nll(g.gpt2_logits(params, cfg, ids)[0], ids))
+        exact.extend(row.tolist() for row in nll)
+
+    # padded-bucket iteration (what pipelines/eval_ppl.py runs)
+    padded = []
+    for ids, lens, _ in ds.padded_batches(3):
+        nll = np.asarray(g.token_nll(g.gpt2_logits(params, cfg, jnp.asarray(ids))[0],
+                                     jnp.asarray(ids)))
+        for row, L in zip(nll, lens):
+            padded.append(row[: L - 1].tolist())
+
+    # exact iterates in bin order == sorted order == padded order
+    assert len(exact) == len(padded)
+    for a, b in zip(exact, padded):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_eval_ppl_data_parallel_matches_single(fisher_text, tmp_path):
+    from loco_asr_tpu.pipelines import eval_ppl
+
+    out1 = tmp_path / "dp1"
+    out2 = tmp_path / "dp2"
+    for out, dp in ((out1, "1"), (out2, "2")):
+        rc = eval_ppl.main(["-i", fisher_text, "-o", str(out), "--model", "tiny",
+                            "--context_type", "max_len", "--bsize", "4",
+                            "--max_len", "16", "--data_parallel", dp])
+        assert rc == 0
+    with open(out1 / "rec_id2ppl.json") as f1, open(out2 / "rec_id2ppl.json") as f2:
+        a, b = json.load(f1), json.load(f2)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-4)
+
+
 def test_eval_ppl_cli_parity_flags(fisher_text, tmp_path):
     """The reference's flags parse and behave (download_only exits 0)."""
     from loco_asr_tpu.pipelines import eval_ppl
