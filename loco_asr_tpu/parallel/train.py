@@ -67,6 +67,35 @@ def make_asr_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_lm_train_step(
+    cfg, mesh: Mesh, tx: optax.GradientTransformation, *,
+    donate: bool = True,
+) -> Callable:
+    """GPT-2 causal-LM training step: batch = {ids [B, L], lengths [B]};
+    loss = mean NLL over tokens 1..len-1 (padding inert under causality)."""
+    from ..models.gpt2 import model as g
+
+    def loss_fn(params, batch, rng):
+        logits, _ = g.gpt2_logits(params, cfg, batch["ids"],
+                                  deterministic=False, dropout_rng=rng)
+        nll = g.token_nll(logits, batch["ids"])          # [B, L-1]
+        t = nll.shape[1]
+        valid = (jnp.arange(t)[None, :] < (batch["lengths"] - 1)[:, None])
+        n = jnp.maximum(jnp.sum(valid), 1)
+        loss = jnp.sum(nll * valid) / n
+        return loss, {"ntokens": n, "nll_sum": jnp.sum(nll * valid)}
+
+    def step(params, opt_state, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss,
+                                   "grad_norm": optax.global_norm(grads), **aux}
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
 def pad_batch(batch: Dict[str, Any], multiple: int,
               label_pad_id: int = -100) -> Dict[str, Any]:
     """Pad the batch axis to a multiple of the DP width.  Padded rows carry

@@ -1,0 +1,197 @@
+"""Train a GPT-2-class LM on Fisher transcripts — BASELINE config 3
+("Transformer LM training + perplexity eval"), the capability lms/ was
+built for but whose training code the reference snapshot lacks
+(lms/README.md:3).
+
+Data: Kaldi 'utt_id text' files; each recording is rebuilt as one
+chronological token stream (the max_len dataset's conversation semantics,
+lms/src/utils.py:108-139) and split into fixed seq_len training chunks —
+conversation-level context is IN the training distribution, not just eval.
+
+TPU trainer: (data, fsdp, tensor) mesh, jit'd step, orbax resume, dev PPL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Iterator, List
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a GPT-2 LM on Fisher text (TPU)")
+    p.add_argument("--train_file", required=True, help="Kaldi text file")
+    p.add_argument("--dev_file", default=None)
+    p.add_argument("--out_dir", default="exp/lm")
+    p.add_argument("--model", default="gpt2",
+                   choices=["tiny", "gpt2", "gpt2-medium", "gpt2-large", "gpt2-xl"])
+    p.add_argument("--checkpoint", default=None, help="init weights")
+    p.add_argument("--tokenizer", default="char")
+    p.add_argument("--seq_len", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup_steps", type=int, default=200)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--eval_every", type=int, default=1000)
+    p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--mesh", default="-1,1,1")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def _stream_chunks(rec_id2tokens, seq_len: int, eos_id: int,
+                   shuffle_seed=None) -> List[np.ndarray]:
+    """Concatenate recording streams -> non-overlapping seq_len chunks."""
+    recs = list(rec_id2tokens.values())
+    if shuffle_seed is not None:
+        np.random.default_rng(shuffle_seed).shuffle(recs)
+    flat: List[int] = []
+    for toks in recs:
+        flat.extend(toks)
+    chunks = []
+    for i in range(0, len(flat) - 1, seq_len):
+        chunk = flat[i:i + seq_len]
+        if len(chunk) >= 2:
+            chunks.append(np.asarray(chunk, np.int32))
+    return chunks
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import lm_datasets
+    from ..data.tokenizer import load_tokenizer
+    from ..models.gpt2 import model as g
+    from ..parallel import mesh as meshlib, partition, train
+    from ..utils.checkpoint import Checkpointer
+    from ..utils.metrics import MetricsWriter
+    from .eval_ppl import load_gpt2_params
+
+    tokenizer = load_tokenizer(args.tokenizer)
+    if args.model == "tiny":
+        cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=max(args.seq_len, 64),
+                                 n_embd=32, n_head=4)
+    else:
+        cfg = g.PRESETS[args.model]
+        if args.tokenizer == "char":
+            cfg = g.GPT2Config(**{**cfg.__dict__, "vocab_size": 256})
+    if args.tokenizer == "char":
+        tokenizer.vocab_size = cfg.vocab_size
+    assert args.seq_len <= cfg.n_positions
+
+    dims = [int(x) for x in args.mesh.split(",")]
+    mesh = meshlib.make_mesh(*dims)
+    params = load_gpt2_params(args.checkpoint, cfg)
+    params = partition.shard_params(params, mesh)
+    tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps, args.steps)
+    opt_state = tx.init(params)
+    step_fn = train.make_lm_train_step(cfg, mesh, tx, donate=False)
+
+    train_ds = lm_datasets.MaxLenTextDataset(args.train_file, tokenizer,
+                                             max_len=args.seq_len)
+    dev_chunks = None
+    if args.dev_file:
+        dev_ds = lm_datasets.MaxLenTextDataset(args.dev_file, tokenizer,
+                                               max_len=args.seq_len)
+        dev_chunks = _stream_chunks(dev_ds.rec_id2tokens, args.seq_len,
+                                    tokenizer.eos_token_id)
+
+    ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
+    metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
+    start_step = 0
+    if args.resume:
+        target = {"params": jax.device_get(params),
+                  "opt_state": jax.device_get(opt_state),
+                  "step": np.asarray(0)}
+        restored = ckpt.restore(target=target)
+        if restored is not None:
+            params = partition.shard_params(restored["params"], mesh)
+            opt_state = jax.tree_util.tree_map(jnp.asarray, restored["opt_state"])
+            start_step = int(restored["step"])
+            print(f"resumed at step {start_step}", file=sys.stderr)
+
+    def batches(epoch: int) -> Iterator[dict]:
+        chunks = _stream_chunks(train_ds.rec_id2tokens, args.seq_len,
+                                tokenizer.eos_token_id,
+                                shuffle_seed=args.seed + epoch)
+        order = np.random.default_rng(args.seed + epoch).permutation(len(chunks))
+        for i in range(0, len(order), args.batch_size):
+            idx = order[i:i + args.batch_size]
+            lens = np.asarray([len(chunks[j]) for j in idx], np.int32)
+            ids = np.zeros((len(idx), args.seq_len), np.int32)
+            for r, j in enumerate(idx):
+                ids[r, :len(chunks[j])] = chunks[j]
+            yield {"ids": ids, "lengths": lens}
+
+    @jax.jit
+    def eval_nll(params, ids, lengths):
+        logits, _ = g.gpt2_logits(params, cfg, ids)
+        nll = g.token_nll(logits, ids)
+        valid = (jnp.arange(nll.shape[1])[None, :] < (lengths - 1)[:, None])
+        return jnp.sum(nll * valid), jnp.sum(valid)
+
+    def run_eval(params, step):
+        if dev_chunks is None:
+            return
+        total, count = 0.0, 0
+        for i in range(0, len(dev_chunks), args.batch_size):
+            group = dev_chunks[i:i + args.batch_size]
+            lens = np.asarray([len(c) for c in group], np.int32)
+            ids = np.zeros((len(group), args.seq_len), np.int32)
+            for r, c in enumerate(group):
+                ids[r, :len(c)] = c
+            s, n = eval_nll(params, jnp.asarray(ids), jnp.asarray(lens))
+            total += float(s)
+            count += int(n)
+        ppl = float(np.exp(total / max(count, 1)))
+        metrics.log(step=step, dev_ppl=ppl, dev_tokens=count)
+        print(f"step {step}: dev PPL {ppl:.2f} over {count} tokens",
+              file=sys.stderr)
+
+    rng = jax.random.PRNGKey(args.seed)
+    step = start_step
+    epoch = 0
+    stream = batches(epoch)
+    t0 = time.perf_counter()
+    while step < args.steps:
+        try:
+            batch = next(stream)
+        except StopIteration:
+            epoch += 1
+            stream = batches(epoch)
+            continue
+        rng, sub = jax.random.split(rng)
+        dev_batch = train.shard_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        params, opt_state, m = step_fn(params, opt_state, dev_batch, sub)
+        step += 1
+        if step % args.log_every == 0:
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            metrics.log(step=step, loss=float(m["loss"]),
+                        grad_norm=float(m["grad_norm"]),
+                        steps_per_sec=args.log_every / dt)
+            print(f"step {step}: loss {float(m['loss']):.4f}", file=sys.stderr)
+        if step % args.eval_every == 0:
+            run_eval(params, step)
+        if step % args.save_every == 0 or step == args.steps:
+            ckpt.save(step, {"params": jax.device_get(params),
+                             "opt_state": jax.device_get(opt_state),
+                             "step": np.asarray(step)})
+    run_eval(params, step)
+    print("Training done!", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
