@@ -1,0 +1,138 @@
+"""Decode a Kaldi-format test set with beam search + optional LM shallow
+fusion, and score WER — the evaluation surface for BASELINE config 4
+("SpeechT5 seq2seq ASR with shallow-fusion beam decoding on Fisher").
+
+Artifacts: {out_dir}/hyp.text (Kaldi 'utt_id hypothesis' lines),
+{out_dir}/wer.json (corpus WER + sub/ins/del breakdown), metrics.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Beam-decode a Kaldi set + WER (TPU)")
+    p.add_argument("--data_dir", required=True, help="Kaldi dir (text+wav.scp)")
+    p.add_argument("--out_dir", default="exp/decode")
+    p.add_argument("--checkpoint", default=None, help="ASR weights")
+    p.add_argument("--tokenizer", default="char")
+    p.add_argument("--vocab_size", type=int, default=256)
+    p.add_argument("--beam_size", type=int, default=5)
+    p.add_argument("--length_penalty", type=float, default=1.0)
+    p.add_argument("--max_decode_len", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_seconds", type=float, default=20.0)
+    p.add_argument("--lm_checkpoint", default=None, help="fusion LM weights (.npz)")
+    p.add_argument("--lm_model", default="tiny",
+                   choices=["tiny", "gpt2", "gpt2-medium", "gpt2-large", "gpt2-xl"])
+    p.add_argument("--lm_weight", type=float, default=0.3)
+    p.add_argument("--tiny", action="store_true", help="tiny ASR config (smoke)")
+    p.add_argument("--limit_batches", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.asr_dataset import KaldiAsrDataset
+    from ..data.tokenizer import load_tokenizer
+    from ..decode.beam import beam_search, greedy_decode
+    from ..decode.fusion import FusionLM
+    from ..models.gpt2 import model as g
+    from ..models.speecht5 import model as st5
+    from ..models.speecht5.config import SpeechT5Config, tiny_config
+    from ..utils.metrics import MetricsWriter, Stopwatch
+    from ..utils.wer import wer_details
+    from . import common
+    from .eval_ppl import load_gpt2_params
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    tokenizer = load_tokenizer(args.tokenizer)
+    if args.tokenizer == "char":
+        tokenizer.vocab_size = args.vocab_size
+
+    if args.tiny:
+        cfg = tiny_config(vocab_size=args.vocab_size, apply_spec_augment=False)
+    else:
+        cfg = SpeechT5Config(vocab_size=args.vocab_size)
+    params = common.load_speecht5_params(args.checkpoint, "asr", cfg)
+
+    fusion = None
+    if args.lm_checkpoint is not None or args.lm_model != "tiny":
+        if args.lm_model == "tiny":
+            lm_cfg = g.tiny_gpt2_config(vocab_size=cfg.vocab_size,
+                                        n_positions=args.max_decode_len + 8)
+        else:
+            lm_cfg = g.PRESETS[args.lm_model]
+        lm_params = load_gpt2_params(args.lm_checkpoint, lm_cfg)
+        fusion = FusionLM(lm_params, lm_cfg, weight=args.lm_weight)
+
+    ds = KaldiAsrDataset(args.data_dir)
+    metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
+    watch = Stopwatch()
+
+    enc_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+
+    def decode_fn(p, enc, mask, lm_params):
+        lm = None if fusion is None else FusionLM(lm_params, fusion.cfg,
+                                                  weight=args.lm_weight)
+        if args.beam_size == 1:
+            return greedy_decode(p, cfg, enc, mask,
+                                 max_len=args.max_decode_len, fusion=lm)
+        hyp = beam_search(p, cfg, enc, mask, beam_size=args.beam_size,
+                          max_len=args.max_decode_len,
+                          length_penalty=args.length_penalty, fusion=lm)
+        return hyp.tokens[:, 0], hyp.lengths[:, 0]
+
+    decode_jit = jax.jit(decode_fn)
+
+    refs: List[str] = []
+    hyps: List[str] = []
+    hyp_lines: List[str] = []
+    audio_seconds = 0.0
+    for bi, batch in enumerate(ds.batches(tokenizer, args.batch_size,
+                                          max_seconds=args.max_seconds,
+                                          eos_id=cfg.eos_token_id)):
+        if args.limit_batches is not None and bi >= args.limit_batches:
+            break
+        audio_seconds += float(batch["attention_mask"].sum()) / 16000.0
+        enc, mask = enc_fn(params, jnp.asarray(batch["input_values"]),
+                           jnp.asarray(batch["attention_mask"]))
+        toks, lens = decode_jit(params, enc, mask,
+                                fusion.params if fusion else None)
+        toks = np.asarray(toks)
+        for utt_id, text, row, L in zip(batch["utt_ids"], batch["texts"],
+                                        toks, np.asarray(lens)):
+            ids = [int(t) for t in row[:L] if int(t) != cfg.eos_token_id]
+            hyp = tokenizer.decode(ids) if hasattr(tokenizer, "decode") and ids else ""
+            refs.append(text)
+            hyps.append(hyp)
+            hyp_lines.append(f"{utt_id} {hyp}")
+        print(f"\r decoded {len(refs)} utts", end=" ", file=sys.stderr)
+    print(file=sys.stderr)
+
+    details = wer_details(refs, hyps)
+    details["rtfx"] = watch.rtfx(audio_seconds)
+    with open(os.path.join(args.out_dir, "hyp.text"), "w") as f:
+        f.write("\n".join(hyp_lines) + "\n")
+    with open(os.path.join(args.out_dir, "wer.json"), "w") as f:
+        json.dump(details, f, indent=2)
+    metrics.log(**details)
+    print(f"WER {details['wer']*100:.2f}% "
+          f"(sub {details['sub_rate']*100:.1f} ins {details['ins_rate']*100:.1f} "
+          f"del {details['del_rate']*100:.1f}) RTFx {details['rtfx']:.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,6 +80,26 @@ def test_kaldi_asr_dataset(kaldi_dir):
     assert valid[-1] == 1
 
 
+def test_decode_asr_pipeline(kaldi_dir, tmp_path, monkeypatch):
+    import json
+
+    from loco_asr_tpu.pipelines import decode_asr
+
+    monkeypatch.chdir(tmp_path)
+    rc = decode_asr.main([
+        "--data_dir", kaldi_dir, "--out_dir", "exp/dec", "--tiny",
+        "--beam_size", "2", "--max_decode_len", "8", "--batch_size", "2",
+        "--max_seconds", "1.0", "--lm_weight", "0.2"])
+    assert rc == 0
+    assert os.path.exists("exp/dec/hyp.text")
+    with open("exp/dec/wer.json") as f:
+        details = json.load(f)
+    assert 0.0 <= details["wer"]
+    assert details["ref_words"] > 0
+    lines = open("exp/dec/hyp.text").read().strip().splitlines()
+    assert len(lines) == 3 and lines[0].split()[0].startswith("rec")
+
+
 def test_train_asr_pipeline_smoke(kaldi_dir, tmp_path, monkeypatch):
     from loco_asr_tpu.pipelines import train_asr
 
