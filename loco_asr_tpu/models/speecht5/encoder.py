@@ -90,10 +90,14 @@ def encoder(
     *,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """[B, T, H] prenet features -> [B, T, H] encodings.
 
     ``attention_mask`` is a [B, T] 1/0 validity mask at feature resolution.
+    ``remat`` rematerializes each layer on the backward pass (activation
+    memory O(sqrt-ish) instead of O(layers) — jax.checkpoint around the
+    scanned layer body, the standard TPU memory/FLOPs trade).
     """
     hidden = layers.layer_norm(params["layer_norm"], hidden_states, eps=cfg.layer_norm_eps)
     if dropout_rng is not None:
@@ -121,6 +125,9 @@ def encoder(
     def scan_fn(h, xs):
         lp, rng = xs if layer_rngs is not None else (xs, None)
         return body(h, lp, dropout_rng=rng), None
+
+    if remat:
+        scan_fn = jax.checkpoint(scan_fn)
 
     xs = (stacked, layer_rngs) if layer_rngs is not None else stacked
     hidden, _ = jax.lax.scan(scan_fn, hidden, xs)

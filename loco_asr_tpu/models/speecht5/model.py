@@ -65,6 +65,7 @@ def encode_speech(
     params: Dict, cfg: SpeechT5Config, input_values: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None, *,
     deterministic: bool = True, rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Raw waveform [B, T] -> ([B, frames, H], frame mask).
 
@@ -78,7 +79,8 @@ def encode_speech(
         params["encoder"]["prenet"], cfg, input_values, attention_mask,
         deterministic=deterministic, rng=r1)
     hidden = enc.encoder(params["encoder"]["wrapped_encoder"], cfg, hidden, mask,
-                         deterministic=deterministic, dropout_rng=r2)
+                         deterministic=deterministic, dropout_rng=r2,
+                         remat=remat)
     return hidden, mask
 
 
@@ -104,6 +106,7 @@ def asr_forward(
     attention_mask: Optional[jnp.ndarray] = None,
     decoder_attention_mask: Optional[jnp.ndarray] = None,
     *, deterministic: bool = True, rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Teacher-forced ASR forward -> vocab logits [B, L, V]."""
     r1 = r2 = r3 = None
@@ -111,7 +114,8 @@ def asr_forward(
         r1, r2, r3 = jax.random.split(rng, 3)
     encoder_hidden, enc_mask = encode_speech(params, cfg, input_values,
                                              attention_mask,
-                                             deterministic=deterministic, rng=r1)
+                                             deterministic=deterministic, rng=r1,
+                                             remat=remat)
     dec_in = prenets.text_decoder_prenet(params["decoder"]["prenet"], cfg,
                                          decoder_input_ids)
     dec_in = layers.dropout(r2, dec_in, cfg.positional_dropout, deterministic)
@@ -147,6 +151,7 @@ def asr_loss(
     input_values: jnp.ndarray, attention_mask: jnp.ndarray,
     labels: jnp.ndarray, *, label_pad_id: int = -100,
     deterministic: bool = False, rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Cross-entropy seq2seq loss with HF shift-right convention
     (decoder inputs = [start, labels[:-1]])."""
@@ -155,7 +160,7 @@ def asr_loss(
     shifted = jnp.where(shifted == label_pad_id, cfg.pad_token_id, shifted)
     logits = asr_forward(params, cfg, input_values, shifted,
                          attention_mask=attention_mask,
-                         deterministic=deterministic, rng=rng)
+                         deterministic=deterministic, rng=rng, remat=remat)
     valid = (labels != label_pad_id)
     tgt = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -46,6 +46,7 @@ def make_asr_train_step(
     tx: optax.GradientTransformation,
     *,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable:
     """Returns jit'd step(params, opt_state, batch, rng) -> (params,
     opt_state, metrics); fully sharded (params: FSDP/TP, batch: DP)."""
@@ -53,7 +54,7 @@ def make_asr_train_step(
     def loss_fn(params, batch, rng):
         loss, aux = st5.asr_loss(
             params, cfg, batch["input_values"], batch["attention_mask"],
-            batch["labels"], deterministic=False, rng=rng)
+            batch["labels"], deterministic=False, rng=rng, remat=remat)
         return loss, aux
 
     def step(params, opt_state, batch, rng):

@@ -41,6 +41,8 @@ def parse_args(argv=None):
                    help="data,fsdp,tensor mesh shape (-1 absorbs)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder layers on backward (less memory)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
     p.add_argument("--decode_max_len", type=int, default=100)
@@ -89,7 +91,8 @@ def main(argv=None) -> int:
     params = partition.shard_params(params, mesh)
     tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps, args.steps)
     opt_state = tx.init(params)
-    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False)
+    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                        remat=args.remat)
 
     ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
