@@ -5,10 +5,11 @@ device-side answer to the reference's O(T*L) sliding-window scoring
 (lms/src/utils.py:141-178) and the building block for sequence-parallel
 ring attention (parallel/ring_attention.py).
 
-Forward-only (scoring/decoding paths); training paths use the dense
-attention in ops/attention.py (XLA fuses it well at trainer sequence
-lengths).  Online-softmax accumulation in VMEM scratch; the kv axis is the
-innermost grid dimension so scratch carries across kv blocks per q block.
+Differentiable: forward is the Pallas kernel (online-softmax accumulation
+in VMEM scratch, kv as the innermost grid dimension); backward is a
+blockwise lax.scan recomputation from the saved logsumexp (flash-attention-2
+math), O(T * block) memory — long-context attention is trainable without
+materializing the [T, T] score matrix.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ NEG_INF = -1e30
 _LANES = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
                   scale: float, causal: bool, block_q: int, block_k: int,
                   num_k_blocks: int):
     qi = pl.program_id(1)
@@ -70,26 +71,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     def _finalize():
         denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:, 0] + jnp.log(denom[:, 0])).astype(lse_ref.dtype)
 
 
-def flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
-    causal: bool = True, scale: Optional[float] = None,
-    block_q: int = 128, block_k: int = 128,
-    interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """[B, H, T, D] q/k/v -> [B, H, Tq, D] attention output.
-
-    Tq and Tk must be multiples of the block sizes after internal padding
-    (handled here: inputs are zero-padded, outputs cropped; padded KEY
-    positions are excluded by the causal mask for causal=True, and by an
-    explicit key-length mask otherwise).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _flash_forward(q, k, v, *, causal, scale, block_q, block_k, interpret):
+    """Padded/blocked pallas_call -> (out [B,H,Tq,D], lse [B,H,Tq])."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    scale = scale if scale is not None else d ** -0.5
 
     block_q = min(block_q, max(8, tq))
     block_k = min(block_k, max(_LANES, 8))
@@ -116,7 +104,7 @@ def flash_attention(
         _flash_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, num_k_blocks=num_k)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(b * h, num_q, num_k),
         in_specs=[
@@ -124,8 +112,14 @@ def flash_attention(
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q), lambda bh, qi, ki: (bh, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tq_p), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -134,4 +128,95 @@ def flash_attention(
         interpret=interpret,
     )(qf, kf, vf)
 
-    return out.reshape(b, h, tq_p, d)[:, :, :tq]
+    out = out.reshape(b, h, tq_p, d)[:, :, :tq]
+    lse = lse.reshape(b, h, tq_p)[:, :, :tq]
+    return out, lse
+
+
+def _flash_backward(q, k, v, out, lse, g, *, causal, scale, block_k):
+    """Blockwise flash-attention-2 backward over kv blocks (lax.scan):
+    memory O(Tq * block_k) instead of O(Tq * Tk)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    pk = -tk % block_k
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    tk_p = k.shape[2]
+    num_k = tk_p // block_k
+
+    qf = q.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)       # [B,H,Tq]
+    q_pos = jnp.arange(tq)
+
+    k_blocks = k.reshape(b, h, num_k, block_k, d).transpose(2, 0, 1, 3, 4)
+    v_blocks = v.reshape(b, h, num_k, block_k, d).transpose(2, 0, 1, 3, 4)
+
+    def body(dq_acc, inputs):
+        j, k_j, v_j = inputs
+        k_pos = j * block_k + jnp.arange(block_k)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_j.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * scale
+        if causal:
+            mask = k_pos[None, :] <= q_pos[:, None]
+            s = jnp.where(mask[None, None], s, NEG_INF)
+        else:
+            s = jnp.where((k_pos < tk)[None, None, None, :], s, NEG_INF)
+        p = jnp.exp(s - lse[..., None])                          # [B,H,Tq,Bk]
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v_j.astype(jnp.float32))
+        ds = p * (dp - delta[..., None])
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds,
+                                     k_j.astype(jnp.float32)) * scale
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+        return dq_acc, (dk_j, dv_j)
+
+    dq, (dk_blocks, dv_blocks) = jax.lax.scan(
+        body, jnp.zeros_like(qf), (jnp.arange(num_k), k_blocks, v_blocks))
+    dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, tk_p, d)[:, :, :tk]
+    dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, tk_p, d)[:, :, :tk]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention(q, k, v, causal, scale, block_q, block_k, interpret):
+    out, _ = _flash_forward(q, k, v, causal=causal, scale=scale,
+                            block_q=block_q, block_k=block_k,
+                            interpret=interpret)
+    return out
+
+
+def _fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+    out, lse = _flash_forward(q, k, v, causal=causal, scale=scale,
+                              block_q=block_q, block_k=block_k,
+                              interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _bwd(causal, scale, block_q, block_k, interpret, residuals, g):
+    q, k, v, out, lse = residuals
+    return _flash_backward(q, k, v, out, lse, g, causal=causal, scale=scale,
+                           block_k=block_k)
+
+
+_flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+    causal: bool = True, scale: Optional[float] = None,
+    block_q: int = 128, block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """[B, H, T, D] q/k/v -> [B, H, Tq, D] attention output.
+
+    Differentiable (custom VJP, blockwise backward).  Tq/Tk are padded to
+    the block sizes internally and cropped; padded KEY positions are
+    excluded by the causal mask (causal=True) or require Tk % block_k == 0.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    return _flash_attention(q, k, v, causal, scale, block_q, block_k,
+                            interpret)

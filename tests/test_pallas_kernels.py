@@ -62,6 +62,28 @@ def test_flash_attention_padded_tail_is_exact_for_valid_rows():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("causal,t", [(True, 96), (False, 64)])
+def test_flash_attention_gradients_match_dense(causal, t):
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((1, 2, t, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 64, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 64, 32)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, causal=causal, block_q=32, block_k=32,
+                              interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(_dense_attention(q, k, v, causal=causal)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
 def test_fused_log_mel_matches_reference_path():
     rng = np.random.default_rng(3)
     wav = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
