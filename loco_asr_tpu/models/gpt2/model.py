@@ -88,7 +88,8 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.float32) 
 def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
            bias: jnp.ndarray, kv_cache: Optional[Dict],
            cache_index: Optional[jnp.ndarray],
-           rng, deterministic: bool) -> Tuple[jnp.ndarray, Optional[Dict]]:
+           rng, deterministic: bool,
+           attn_impl: str = "dense") -> Tuple[jnp.ndarray, Optional[Dict]]:
     act = layers.ACTIVATIONS[cfg.activation]
     rngs = (None,) * 3 if rng is None else tuple(jax.random.split(rng, 3))
 
@@ -107,13 +108,22 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
         v = jax.lax.dynamic_update_slice(kv_cache["v"], v, (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) / (cfg.head_dim ** 0.5)
-    scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    probs = layers.dropout(rngs[0], probs, cfg.attn_pdrop, deterministic)
-    attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
+    if attn_impl == "flash" and kv_cache is None:
+        # O(T)-memory Pallas kernel; full-sequence causal scoring only
+        # (padding is inert under causality, see pipelines/eval_ppl.py).
+        from ...ops.pallas import flash_attention
+
+        attn = flash_attention(q, k, v, causal=True,
+                               scale=cfg.head_dim ** -0.5)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / (cfg.head_dim ** 0.5)
+        scores = scores + bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        probs = layers.dropout(rngs[0], probs, cfg.attn_pdrop, deterministic)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
     attn = layers.dense(bp["attn"]["c_proj"], attn)
     attn = layers.dropout(rngs[1], attn, cfg.resid_pdrop, deterministic)
     x = x + attn
@@ -134,8 +144,13 @@ def gpt2_forward(
     cache_index: Optional[jnp.ndarray] = None,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    attn_impl: str = "dense",
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Token ids [B, T] -> (hidden [B, T, D], updated kv caches).
+
+    ``attn_impl='flash'`` routes full-sequence causal attention through the
+    Pallas blockwise kernel (long-context scoring/training; ignored in
+    incremental KV mode, where attention is already O(1) per step).
 
     Incremental mode: pass ``kv_caches`` (fixed shape) and ``cache_index``
     (number of tokens already cached); positions and causal masking follow.
@@ -165,7 +180,8 @@ def gpt2_forward(
     for i in range(cfg.n_layer):
         cache_i = kv_caches[str(i)] if kv_caches is not None else None
         x, upd = _block(params["h"][str(i)], cfg, x, bias, cache_i,
-                        cache_index, rngs[i], deterministic)
+                        cache_index, rngs[i], deterministic,
+                        attn_impl=attn_impl)
         if new_caches is not None:
             new_caches[str(i)] = upd
 

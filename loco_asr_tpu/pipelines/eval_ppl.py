@@ -51,7 +51,11 @@ def parse_arguments(argv=None):
                    choices=["gpt2", "gpt2-medium", "gpt2-large", "gpt2-xl",
                             "tiny"])
     p.add_argument("--context_type", "-context_type", "--ct", "-ct",
-                   choices=["indep", "max_len"], default="indep")
+                   choices=["indep", "max_len", "streaming"], default="indep",
+                   help="indep/max_len = reference semantics; streaming = "
+                        "half-overlap strided windows (every token scored "
+                        "with >= max_len/2 context at O(T) total compute "
+                        "instead of max_len's O(T*max_len))")
     p.add_argument("--checkpoint", default=None,
                    help="local GPT-2 weights (.bin/.safetensors/.npz); "
                         "random init if omitted (smoke mode)")
@@ -189,6 +193,46 @@ def main(argv=None) -> int:
                 out = np.asarray(score(params, jnp.asarray(chunk)))[:n, -1]
                 nlls.extend([[float(v)] for v in out])
                 ids_order.extend([rec_id] * n)
+        print(file=sys.stderr)
+    elif args.context_type == "streaming":
+        dataset = lm_datasets.MaxLenTextDataset(args.in_file, tokenizer,
+                                                max_len=max_len,
+                                                batch_size=args.bsize)
+        ids_order = []
+        stride = max_len // 2
+        recs = list(dataset.rec_id2tokens.items())
+        if args.limit_recordings:
+            recs = recs[: args.limit_recordings]
+        for r, (rec_id, tokens) in enumerate(recs):
+            print(f"\r recording {r+1}/{len(recs)} ({len(tokens)} tokens)",
+                  end=" ", file=sys.stderr)
+            T = len(tokens)
+            arr = np.asarray(tokens, np.int32)
+            if T <= max_len:
+                row = np.asarray(score(params, jnp.asarray(arr[None])))
+                nlls.append(row[0][: T - 1].tolist())
+                ids_order.append(rec_id)
+                continue
+            # half-overlap windows at offsets 0, stride, 2*stride, ...
+            offsets = list(range(0, T - max_len, stride)) + [T - max_len]
+            wins = np.stack([arr[o:o + max_len] for o in offsets])
+            rec_nlls: List[float] = []
+            prev_end = 0
+            for i in range(0, len(wins), args.bsize):
+                chunk = wins[i:i + args.bsize]
+                n = len(chunk)
+                if n < args.bsize:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], args.bsize - n, 0)], 0)
+                out = np.asarray(score(params, jnp.asarray(chunk)))[:n]
+                for w, row in zip(range(i, i + n), out):
+                    o = offsets[w]
+                    # row[j] = NLL of token o+j+1; keep tokens not yet scored
+                    start_tok = max(o + 1, prev_end)
+                    rec_nlls.extend(row[start_tok - o - 1: max_len - 1].tolist())
+                    prev_end = o + max_len
+            nlls.append(rec_nlls)
+            ids_order.append(rec_id)
         print(file=sys.stderr)
     else:
         raise ValueError(args.context_type)

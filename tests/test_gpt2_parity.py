@@ -68,6 +68,15 @@ def test_kv_cache_scoring_matches_full(pair):
     np.testing.assert_allclose(got, np.asarray(full), atol=1e-4, rtol=1e-4)
 
 
+def test_flash_attention_impl_matches_dense(pair):
+    _, params, cfg = pair
+    ids = np.random.default_rng(1).integers(0, 61, (2, 24))
+    dense, _ = g.gpt2_logits(params, cfg, jnp.asarray(ids))
+    flash, _ = g.gpt2_logits(params, cfg, jnp.asarray(ids), attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_presets_shapes():
     assert g.PRESETS["gpt2"].n_layer == 12
     assert g.PRESETS["gpt2-xl"].n_embd == 1600

@@ -217,6 +217,44 @@ def test_eval_ppl_indep_padded_equals_exact_bins(fisher_text):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
 
 
+def test_eval_ppl_streaming_mode(fisher_text, tmp_path):
+    """Streaming mode: (a) recordings shorter than max_len score exactly
+    like one full forward; (b) long recordings cover tokens 1..T-1 once
+    each; (c) it runs orders faster than stride-1 (not timed here)."""
+    from loco_asr_tpu.data import lm_datasets
+    from loco_asr_tpu.data.tokenizer import CharTokenizer
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.pipelines import eval_ppl
+
+    # (a) max_len larger than any recording -> full-context exact
+    out = tmp_path / "stream_big"
+    rc = eval_ppl.main(["-i", fisher_text, "-o", str(out), "--model", "tiny",
+                        "--context_type", "streaming", "--max_len", "4096",
+                        "--bsize", "4"])
+    assert rc == 0
+    with open(out / "rec_id2nlls.pkl", "rb") as f:
+        got = pickle.load(f)
+    cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=64, n_embd=32, n_head=4)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    tok = CharTokenizer()
+    ds = lm_datasets.MaxLenTextDataset(fisher_text, tok, max_len=4096)
+    for rec_id, tokens in ds.rec_id2tokens.items():
+        ids = jnp.asarray(np.asarray(tokens, np.int32)[None])
+        want = np.asarray(g.token_nll(g.gpt2_logits(params, cfg, ids)[0], ids))[0]
+        np.testing.assert_allclose(got[rec_id], want, atol=1e-4, rtol=1e-4)
+
+    # (b) long recordings: every token 1..T-1 scored exactly once
+    out2 = tmp_path / "stream_small"
+    rc = eval_ppl.main(["-i", fisher_text, "-o", str(out2), "--model", "tiny",
+                        "--context_type", "streaming", "--max_len", "32",
+                        "--bsize", "3"])
+    assert rc == 0
+    with open(out2 / "rec_id2nlls.pkl", "rb") as f:
+        got2 = pickle.load(f)
+    for rec_id, tokens in ds.rec_id2tokens.items():
+        assert len(got2[rec_id]) == len(tokens) - 1
+
+
 def test_eval_ppl_data_parallel_matches_single(fisher_text, tmp_path):
     from loco_asr_tpu.pipelines import eval_ppl
 
