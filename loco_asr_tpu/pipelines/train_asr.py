@@ -117,10 +117,12 @@ def main(argv=None) -> int:
     bos, eos = cfg.bos_token_id, cfg.eos_token_id
 
     def batch_stream(epoch):
-        yield from train_ds.batches(
+        from ..utils.prefetch import prefetch
+
+        yield from prefetch(train_ds.batches(
             tokenizer, args.batch_size, max_seconds=args.max_seconds,
             max_label_len=args.max_label_len, shuffle=True,
-            seed=args.seed + epoch, eos_id=eos)
+            seed=args.seed + epoch, eos_id=eos), depth=4)
 
     def run_eval(params, step):
         if dev_ds is None:
