@@ -66,6 +66,38 @@ def make_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
     return Mesh(grid, AXES.names)
 
 
+def make_multislice_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
+                         num_slices: Optional[int] = None) -> Mesh:
+    """Mesh spanning multiple TPU slices: the data axis is laid out across
+    slices so its collectives (gradient all-reduce) ride DCN while
+    fsdp/tensor stay inside a slice on ICI (SURVEY §2.3 plan: 'DCN data
+    parallelism across slices').
+
+    Falls back to :func:`make_mesh` when the runtime reports one slice
+    (or slice info is unavailable, e.g. CPU meshes).
+    """
+    devs = jax.devices()
+    slice_ids = {getattr(d, "slice_index", 0) for d in devs}
+    n_slices = num_slices if num_slices is not None else len(slice_ids)
+    if n_slices <= 1:
+        return make_mesh(data, fsdp, tensor)
+    from jax.experimental import mesh_utils
+
+    per_slice = len(devs) // n_slices
+    if fsdp * tensor > per_slice or per_slice % (fsdp * tensor):
+        raise ValueError(f"fsdp*tensor={fsdp*tensor} must divide the "
+                         f"per-slice device count {per_slice}")
+    if data == -1:
+        data = len(devs) // (fsdp * tensor)
+    if data % n_slices:
+        raise ValueError(f"data axis {data} must divide across {n_slices} slices")
+    grid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(data // n_slices, fsdp, tensor),
+        dcn_mesh_shape=(n_slices, 1, 1),
+        devices=devs)
+    return Mesh(grid, AXES.names)
+
+
 def named(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 

@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder layers on backward (less memory)")
+    p.add_argument("--nan_recovery", action="store_true",
+                   help="on a non-finite loss, roll back to the last "
+                        "checkpoint and skip the offending batch")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
     p.add_argument("--decode_max_len", type=int, default=100)
@@ -176,7 +179,22 @@ def main(argv=None) -> int:
         dev_batch = train.shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()
              if k in ("input_values", "attention_mask", "labels")}, mesh)
-        params, opt_state, m = step_fn(params, opt_state, dev_batch, sub)
+        new_params, new_opt, m = step_fn(params, opt_state, dev_batch, sub)
+        if args.nan_recovery and not np.isfinite(float(m["loss"])):
+            # failure detection (SURVEY §5): roll back and skip the batch
+            print(f"step {step+1}: non-finite loss; rolling back",
+                  file=sys.stderr)
+            metrics.log(step=step + 1, event="nan_rollback")
+            target = {"params": jax.device_get(params),
+                      "opt_state": jax.device_get(opt_state),
+                      "step": np.asarray(0)}
+            restored = ckpt.restore(target=target)
+            if restored is not None:
+                params = partition.shard_params(restored["params"], mesh)
+                opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                                   restored["opt_state"])
+            continue
+        params, opt_state = new_params, new_opt
         step += 1
         if step % 50 == 0:
             dt = time.perf_counter() - t0

@@ -79,6 +79,12 @@ def test_sharded_asr_train_step(mesh8):
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_multislice_mesh_falls_back_single_slice():
+    # CPU devices report no slice_index -> single slice -> plain mesh
+    m = meshlib.make_multislice_mesh(data=2, fsdp=2, tensor=2)
+    assert dict(m.shape) == {"data": 2, "fsdp": 2, "tensor": 2}
+
+
 def test_init_sharded_places_params(mesh8):
     cfg = tiny_config(hidden_size=32, encoder_attention_heads=4,
                       encoder_ffn_dim=64)
