@@ -1,0 +1,78 @@
+"""End-to-end Fisher prep CLI on a synthetic LDC-style corpus tree:
+transcripts + 2-channel SPHERE audio + calldata + filetable -> Kaldi dir
+with speaker remap and topic splits."""
+
+import os
+
+import numpy as np
+
+from loco_asr_tpu.data import kaldi
+from loco_asr_tpu.pipelines import fisher_prep as cli
+from tests.test_audio import _linear_to_ulaw  # reuse mu-law encoder
+
+
+def _write_sphere(path, n=800):
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(2 * n) * 5000).astype(np.int16)
+    data = _linear_to_ulaw(pcm).tobytes()
+    header = ("NIST_1A\n   1024\n"
+              "sample_rate -i 8000\nchannel_count -i 2\n"
+              "sample_n_bytes -i 1\nsample_coding -s4 ulaw\nend_head\n")
+    with open(path, "wb") as f:
+        f.write(header.encode().ljust(1024, b" "))
+        f.write(data)
+
+
+def _make_corpus(root):
+    trans = root / "fe_03_p1_tran/data/trans/000"
+    audio = root / "fe_03_p1_sph1/audio/000"
+    doc = root / "fe_03_p1_tran/doc"
+    for d in (trans, audio, doc):
+        d.mkdir(parents=True)
+    for i, rec in enumerate(("fe_03_00001", "fe_03_00002")):
+        (trans / f"{rec}.txt").write_text(
+            f"# {rec}.sph\n\n"
+            "7.38 8.78 A: hello there how are you\n"
+            "9.00 10.5 B: pretty good thanks\n")
+        _write_sphere(audio / f"{rec}.sph")
+    (doc / "calldata.tbl").write_text(
+        "00001,x,x,x,x, 777 ,x,x,x,x, 888 ,x\n")
+    (root / "fe_03_p1_sph1" / "filetable.txt").write_text(
+        "pin1 fe_03_00001.sph ff\npin2 fe_03_00002.sph mf\n")
+    splits = root / "splits"
+    splits.mkdir()
+    (splits / "train.recids").write_text("fe_03_00001\n")
+    (splits / "dev.recids").write_text("fe_03_00002\n")
+    return str(root), str(splits)
+
+
+def test_fisher_prep_cli_end_to_end(tmp_path, monkeypatch):
+    corpus, splits = _make_corpus(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([corpus, "--out_dir", "data/train_all", "--calldata",
+                   "--split_dir", splits, "--split_out", "data",
+                   "--sets", "train", "dev", "--expected_count", "2"])
+    assert rc == 0
+
+    text = kaldi.read_key_value_file("data/train_all/text")
+    # calldata remap applied: conversation 00001 -> speaker pins 777/888
+    assert any(k.startswith("fe_03_777-00001-A") for k in text)
+    assert any(k.startswith("fe_03_00002-A") for k in text)  # not in calldata
+
+    wav_scp = kaldi.read_key_value_file("data/train_all/wav.scp")
+    assert "fe_03_00001-A" in wav_scp and wav_scp["fe_03_00001-A"].endswith("|")
+
+    g = kaldi.read_key_value_file("data/train_all/spk2gender")
+    assert g  # filetable parsed
+
+    # splits filter by recording id (rec id of remapped utts = speaker pin,
+    # so only the unmapped conversation lands in its split)
+    dev_text = kaldi.read_key_value_file("data/dev/text")
+    assert all(k.startswith("fe_03_00002") for k in dev_text)
+
+
+def test_fisher_prep_cli_count_check(tmp_path, monkeypatch):
+    corpus, _ = _make_corpus(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([corpus, "--out_dir", "data/x", "--expected_count", "11699"])
+    assert rc == 1
