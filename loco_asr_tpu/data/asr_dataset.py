@@ -18,7 +18,7 @@ import os
 import subprocess
 import wave as wave_mod
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

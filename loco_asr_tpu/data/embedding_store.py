@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

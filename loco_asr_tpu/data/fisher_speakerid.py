@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import Dict, Iterable, List
+from typing import Dict, List
 
 from . import kaldi
 

@@ -23,7 +23,6 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from ..ops import audio as audio_ops
 
 
 @dataclass

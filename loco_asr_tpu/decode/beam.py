@@ -10,8 +10,6 @@ config 4).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -21,7 +21,6 @@ ops/pallas/logmel.py for the fused Pallas kernel used on the hot path.
 from __future__ import annotations
 
 import math
-import struct
 import wave
 from typing import Optional, Tuple
 

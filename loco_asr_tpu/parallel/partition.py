@@ -16,7 +16,7 @@ Kernel layout reminder: our dense kernels are [in, out].
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import numpy as np

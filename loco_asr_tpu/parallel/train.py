@@ -10,12 +10,12 @@ the framework never writes a collective by hand here (SURVEY.md §2.3).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..models.speecht5 import model as st5
 from ..models.speecht5.config import SpeechT5Config

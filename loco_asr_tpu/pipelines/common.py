@@ -4,7 +4,7 @@ bucketing, device placement."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

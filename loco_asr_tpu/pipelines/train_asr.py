@@ -14,8 +14,6 @@ import argparse
 import os
 import sys
 import time
-from typing import Dict
-
 import numpy as np
 
 

@@ -23,11 +23,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
-from functools import partial
-from typing import Dict
-
-import numpy as np
 
 
 def parse_args(argv=None):
