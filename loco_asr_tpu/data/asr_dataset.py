@@ -61,8 +61,14 @@ class KaldiAsrDataset:
             return self._reco_cache[reco_id]
         rxspec = self.wav_scp[reco_id].strip()
         if rxspec.endswith("|"):
+            # command pipes may invoke our sph_decode module: make the
+            # package importable regardless of the caller's cwd
+            env = dict(os.environ)
+            pkg_root = os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+            env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
             raw = subprocess.run(rxspec[:-1], shell=True, check=True,
-                                 capture_output=True).stdout
+                                 capture_output=True, env=env).stdout
             with wave_mod.open(io.BytesIO(raw)) as w:
                 rate = w.getframerate()
                 pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)

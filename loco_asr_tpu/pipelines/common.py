@@ -49,6 +49,10 @@ def load_speecht5_params(checkpoint: Optional[str], variant: str, cfg, rng=None)
         return params
 
     if os.path.isdir(checkpoint):
+        if os.path.exists(os.path.join(checkpoint, "status.json")):
+            # our training Checkpointer directory (pipelines/train_asr.py)
+            state = ckpt_util.Checkpointer(checkpoint).restore()
+            return state["params"]
         for name in ("model.safetensors", "pytorch_model.bin"):
             p = os.path.join(checkpoint, name)
             if os.path.exists(p):

@@ -70,8 +70,10 @@ def main(argv=None) -> int:
     fusion = None
     if args.lm_checkpoint is not None or args.lm_model != "tiny":
         if args.lm_model == "tiny":
-            lm_cfg = g.tiny_gpt2_config(vocab_size=cfg.vocab_size,
-                                        n_positions=args.max_decode_len + 8)
+            # mirrors train_lm's tiny config so trained checkpoints load
+            lm_cfg = g.tiny_gpt2_config(
+                vocab_size=256, n_embd=32, n_head=4,
+                n_positions=max(args.max_decode_len + 8, 64))
         else:
             lm_cfg = g.PRESETS[args.lm_model]
         lm_params = load_gpt2_params(args.lm_checkpoint, lm_cfg)

@@ -81,8 +81,12 @@ def load_gpt2_params(checkpoint, cfg, rng=None):
     from ..utils import checkpoint as ckpt_util
 
     if checkpoint is None:
-        return g.gpt2_init(rng or jax.random.PRNGKey(0), cfg)
+        return g.gpt2_init(rng if rng is not None else jax.random.PRNGKey(0), cfg)
     if os.path.isdir(checkpoint):
+        if os.path.exists(os.path.join(checkpoint, "status.json")):
+            # our training Checkpointer directory (pipelines/train_lm.py)
+            state = ckpt_util.Checkpointer(checkpoint).restore()
+            return state["params"]
         for name in ("model.safetensors", "pytorch_model.bin"):
             path = os.path.join(checkpoint, name)
             if os.path.exists(path):
