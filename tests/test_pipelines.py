@@ -101,6 +101,22 @@ def test_extract_embeddings_audio(slurp_root, tmp_path, fmt, monkeypatch):
         assert set(d) == {"id", "embedding", "target"}
 
 
+def test_extract_embeddings_text_modality(slurp_root, tmp_path, monkeypatch):
+    from loco_asr_tpu.data.embedding_store import EmbeddingStore
+    from loco_asr_tpu.pipelines import extract_embeddings
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "emb_text"
+    rc = extract_embeddings.main([
+        "-m", "text", "-s", "devel", "--data_path", slurp_root,
+        "--out_dir", str(out), "--batch_size", "4", "--limit", "4"])
+    assert rc == 0
+    store = EmbeddingStore(str(out))
+    assert len(store) == 4
+    _, emb, tgt = store[0]
+    assert emb.shape[-1] == 768 and tgt.shape == (101,)
+
+
 def test_extract_then_train_classifier(slurp_root, tmp_path, monkeypatch):
     from loco_asr_tpu.pipelines import extract_embeddings, train_classifier
 
