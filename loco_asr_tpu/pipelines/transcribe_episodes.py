@@ -1,0 +1,101 @@
+"""Transcribe long-form episodes (podcast manifests) with conversation
+carry-over — the CLI surface for BASELINE config 5.
+
+Input: an episode manifest (data/podcasts.py jsonl).  Per episode, audio
+is decoded, segmented (manifest timestamps or the energy endpointer), and
+transcribed utterance-by-utterance with greedy decoding; with an LM
+(--lm_checkpoint) the fusion scorer's KV cache carries the conversation
+context across utterances.
+
+Output: {out_dir}/{episode_id}.jsonl with one segment per line
+({start, end, text, token_ids}) and metrics.jsonl with RTFx per episode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Transcribe long audio episodes (TPU)")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--out_dir", default="exp/episodes")
+    p.add_argument("--checkpoint", default=None, help="ASR weights")
+    p.add_argument("--tokenizer", default="char")
+    p.add_argument("--vocab_size", type=int, default=256)
+    p.add_argument("--lm_checkpoint", default=None)
+    p.add_argument("--lm_model", default="tiny",
+                   choices=["tiny", "gpt2", "gpt2-medium", "gpt2-large", "gpt2-xl"])
+    p.add_argument("--lm_weight", type=float, default=0.3)
+    p.add_argument("--max_decode_len", type=int, default=200)
+    p.add_argument("--batch_seconds", type=float, default=20.0)
+    p.add_argument("--tiny", action="store_true", help="tiny ASR config (smoke)")
+    p.add_argument("--limit_episodes", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    from ..data import podcasts
+    from ..data.tokenizer import load_tokenizer
+    from ..decode.fusion import FusionLM
+    from ..decode.long_audio import transcribe_long_audio
+    from ..models.gpt2 import model as g
+    from ..models.speecht5.config import SpeechT5Config, tiny_config
+    from ..ops.audio import load_audio
+    from ..utils.metrics import MetricsWriter, Stopwatch
+    from . import common
+    from .eval_ppl import load_gpt2_params
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    tokenizer = load_tokenizer(args.tokenizer)
+    if args.tokenizer == "char":
+        tokenizer.vocab_size = args.vocab_size
+
+    cfg = (tiny_config(vocab_size=args.vocab_size, apply_spec_augment=False)
+           if args.tiny else SpeechT5Config(vocab_size=args.vocab_size))
+    params = common.load_speecht5_params(args.checkpoint, "asr", cfg)
+
+    fusion = None
+    if args.lm_checkpoint is not None or args.lm_model != "tiny":
+        if args.lm_model == "tiny":
+            lm_cfg = g.tiny_gpt2_config(vocab_size=256, n_embd=32, n_head=4,
+                                        n_positions=512)
+        else:
+            lm_cfg = g.PRESETS[args.lm_model]
+        fusion = FusionLM(load_gpt2_params(args.lm_checkpoint, lm_cfg),
+                          lm_cfg, weight=args.lm_weight)
+
+    episodes = podcasts.load_manifest(args.manifest)
+    if args.limit_episodes:
+        episodes = episodes[: args.limit_episodes]
+    metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
+
+    for ep in episodes:
+        watch = Stopwatch()
+        wav, sr = load_audio(ep.audio_path, 16000)
+        segments = ([(s.start, s.end) for s in ep.segments]
+                    if ep.segments else None)
+        out = transcribe_long_audio(
+            params, cfg, wav, sr, segments=segments, fusion=fusion,
+            max_decode_len=args.max_decode_len,
+            batch_seconds=args.batch_seconds, tokenizer=tokenizer)
+        path = os.path.join(args.out_dir, f"{ep.episode_id}.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            for seg in out:
+                f.write(json.dumps({"start": seg.start, "end": seg.end,
+                                    "text": seg.text,
+                                    "token_ids": seg.token_ids}) + "\n")
+        rtfx = watch.rtfx(len(wav) / sr)
+        metrics.log(episode=ep.episode_id, segments=len(out), rtfx=rtfx)
+        print(f"{ep.episode_id}: {len(out)} segments, RTFx {rtfx:.1f}",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,6 +58,37 @@ def test_segment_splits_long_runs():
     assert abs(segs[-1][1] - 7.0) < 0.05
 
 
+def test_transcribe_episodes_cli(tmp_path, monkeypatch):
+    import wave
+
+    from loco_asr_tpu.pipelines import transcribe_episodes
+
+    rng = np.random.default_rng(5)
+    sr = 16000
+    sil = np.zeros(sr // 2, np.float32)
+    sp = (rng.standard_normal(sr // 2) * 0.3).astype(np.float32)
+    wav = np.concatenate([sil, sp, sil])
+    pcm = (wav * 30000).astype(np.int16)
+    audio_path = tmp_path / "ep1.wav"
+    with wave.open(str(audio_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    podcasts.write_manifest(str(tmp_path / "manifest.jsonl"), [
+        podcasts.Episode("ep1", str(audio_path), duration=1.5)])
+
+    monkeypatch.chdir(tmp_path)
+    rc = transcribe_episodes.main([
+        "--manifest", str(tmp_path / "manifest.jsonl"),
+        "--out_dir", "out", "--tiny", "--max_decode_len", "6"])
+    assert rc == 0
+    import json as _json
+
+    lines = [_json.loads(l) for l in open("out/ep1.jsonl")]
+    assert lines and all("start" in l and "token_ids" in l for l in lines)
+
+
 def test_transcribe_long_audio_with_context():
     cfg = tiny_config(apply_spec_augment=False, mask_time_prob=0.0)
     params = st5.asr_init(jax.random.PRNGKey(0), cfg)
