@@ -70,7 +70,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     def _finalize():
         denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:, 0] + jnp.log(denom[:, 0])).astype(lse_ref.dtype)
+        lse = (m_scr[:, 0:1] + jnp.log(denom)).astype(lse_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_forward(q, k, v, *, causal, scale, block_q, block_k, interpret):
@@ -111,13 +112,16 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
         ],
+        # lse rides in an [*, 8]-lane buffer: Mosaic requires the block's
+        # last dim to be 128-divisible or equal to the array dim, so a
+        # plain [bh, tq] layout with (1, block_q) blocks is not lowerable
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, qi, ki: (bh, qi)),
+            pl.BlockSpec((1, block_q, 8), lambda bh, qi, ki: (bh, qi, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, tq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, tq_p, 8), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -128,7 +132,7 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k, interpret):
     )(qf, kf, vf)
 
     out = out.reshape(b, h, tq_p, d)[:, :, :tq]
-    lse = lse.reshape(b, h, tq_p)[:, :, :tq]
+    lse = lse[..., 0].reshape(b, h, tq_p)[:, :, :tq]
     return out, lse
 
 
