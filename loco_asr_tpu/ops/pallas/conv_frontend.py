@@ -12,12 +12,13 @@ writes once — one HBM output write instead of XLA's write/read/write.
 Math contract: lax conv (NCH) -> GroupNorm(C groups, eps 1e-5) -> erf-GELU,
 identical to prenets.feature_encoder's first layer (parity-tested to 3e-6).
 
-Status (measured on v5e-1, batch 16 x 5 s): 3.1 ms vs XLA's 2.9 ms — the
-theoretical ~2x traffic saving is currently eaten by grid-step overhead
-(504 steps at chunk_frames=128, forced by the 16 MB scoped-VMEM budget)
-and the per-chunk output transpose.  Kept as the starting point for a
-fully-fused multi-layer front-end (docs/ROADMAP.md); not wired into the
-default prenet path.
+Status (measured on v5e-1, batch 16 x 5 s): 3.1 ms at chunk 128 vs XLA's
+2.9 ms; raising the scoped-VMEM budget (v5e has 128 MB physical) and
+growing chunks makes it *slower* (3.5 ms at 1024 — the per-chunk
+[C, CF] output transpose dominates, not grid-step overhead).  Conclusion:
+XLA's own conv+norm fusion is already near the traffic floor here.  Kept
+as a parity-exact reference for a future multi-layer fused front-end
+(docs/ROADMAP.md); not wired into the default prenet path.
 
 Mosaic layout notes: blocks carry ITEMS=8 batch rows so the wav block's
 sublane dim meets the (8, 128) tiling constraint; inputs are
@@ -97,7 +98,7 @@ def _kernel(ws1_ref, ws2_ref, wa_ref, wb_ref, scale_ref, bias_ref, out_ref,
 def conv1_instance_norm_gelu(
     wav: jnp.ndarray, weight: jnp.ndarray, scale: jnp.ndarray,
     bias: jnp.ndarray, *, stride: int = 5, chunk_frames: int = 128,
-    interpret: Optional[bool] = None,
+    vmem_limit_mb: int = 100, interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """[B, T] waveform, [C, 1, K] conv weight (torch OIH, K == 2*stride),
     [C] norm scale/bias -> [B, C, (T-K)//stride + 1] activations."""
@@ -147,6 +148,10 @@ def conv1_instance_norm_gelu(
             pltpu.VMEM((_ITEMS, cch), jnp.float32),
             pltpu.VMEM((_ITEMS, cch), jnp.float32),
         ],
+        # v5e has 128 MB VMEM; the compiler's 16 MB scoped default would
+        # force tiny chunks (grid-step overhead then dominates)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )(ws1, ws2, wa, wb, scale[None, :], bias[None, :])
 
