@@ -143,6 +143,25 @@ def test_extract_then_train_classifier(slurp_root, tmp_path, monkeypatch):
 # eval_ppl
 # ---------------------------------------------------------------------------
 
+def test_slurp_sweep(slurp_root, tmp_path, monkeypatch):
+    from loco_asr_tpu.pipelines import extract_embeddings, slurp_sweep
+
+    monkeypatch.chdir(tmp_path)
+    for split in ("train", "train_synthetic", "devel", "test"):
+        assert extract_embeddings.main([
+            "-m", "audio", "-s", split, "--data_path", slurp_root,
+            "--batch_size", "4"]) == 0
+    rc = slurp_sweep.main(["--modalities", "audio",
+                           "--poolings", "average", "attention",
+                           "--epochs", "1", "--batch_size", "4"])
+    assert rc == 0
+    with open("results/fine_tuned/sweep.json") as f:
+        sweep = json.load(f)
+    assert set(sweep) == {"audio/average", "audio/attention"}
+    for r in sweep.values():
+        assert r["status"] == "ok" and r["best_val_acc"] is not None
+
+
 def test_eval_ppl_indep(fisher_text, tmp_path):
     from loco_asr_tpu.pipelines import eval_ppl
 
