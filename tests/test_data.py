@@ -66,6 +66,24 @@ def test_slurp_synthetic_uses_synth_audio(slurp_root):
     assert "slurp_synth" in ds[0][2]
 
 
+def test_reference_pickle_layout_roundtrip(tmp_path):
+    """The reference-compat cache layout: one pickle per utterance with
+    {id, embedding, target} (extract_*.py:91-93 / slurp_embeddings_and_
+    targets.py:19-28)."""
+    from loco_asr_tpu.data import embedding_store
+
+    records = [(7, np.random.default_rng(0).standard_normal((5, 4)).astype(np.float32),
+                np.eye(3, dtype=np.float32)[1])]
+    d = str(tmp_path / "pk")
+    embedding_store.write_reference_pickles(d, records)
+    files = os.listdir(d)
+    assert files == ["7_embedding_and_target.pickle"]
+    back = list(embedding_store.read_reference_pickles(d))
+    assert back[0][0] == 7
+    np.testing.assert_array_equal(back[0][1], records[0][1])
+    np.testing.assert_array_equal(back[0][2], records[0][2])
+
+
 # ---------------------------------------------------------------------------
 # Kaldi IO
 # ---------------------------------------------------------------------------
