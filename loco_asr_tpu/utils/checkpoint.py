@@ -106,3 +106,37 @@ class Checkpointer:
     def restore_best(self, target: Optional[Dict] = None) -> Optional[Dict]:
         st = self.status()
         return None if st["best"] is None else self.restore(st["best"], target)
+
+    def steps(self) -> list:
+        """All saved step numbers, ascending."""
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("step_"):
+                out.append(int(name[len("step_"):].split(".")[0]))
+        return sorted(out)
+
+
+def average_checkpoints(states: list) -> Dict:
+    """Elementwise mean of parameter trees — standard ASR checkpoint
+    averaging over the last k saves (reduces single-checkpoint variance).
+    Accepts param trees (or state dicts; pass [s["params"] for s in ...])."""
+    if not states:
+        raise ValueError("no states to average")
+    n = float(len(states))
+
+    def mean(*leaves):
+        acc = np.asarray(leaves[0], np.float64)
+        for leaf in leaves[1:]:
+            acc = acc + np.asarray(leaf, np.float64)
+        return (acc / n).astype(np.asarray(leaves[0]).dtype)
+
+    return jax.tree_util.tree_map(mean, *states)
+
+
+def average_last_k(ckpt: "Checkpointer", k: int = 5) -> Optional[Dict]:
+    """Average the params of the last k saved checkpoints."""
+    steps = ckpt.steps()[-k:]
+    if not steps:
+        return None
+    states = [ckpt.restore(s) for s in steps]
+    return average_checkpoints([s["params"] for s in states])

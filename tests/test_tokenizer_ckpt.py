@@ -89,6 +89,24 @@ def test_checkpointer_orbax_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out["params"]["b"]["c"]), 1.0)
 
 
+def test_average_checkpoints(tmp_path):
+    from loco_asr_tpu.utils.checkpoint import (Checkpointer, average_checkpoints,
+                                               average_last_k)
+
+    a = {"w": np.asarray([1.0, 2.0], np.float32), "n": {"b": np.float32(0.0)}}
+    b = {"w": np.asarray([3.0, 4.0], np.float32), "n": {"b": np.float32(2.0)}}
+    avg = average_checkpoints([a, b])
+    np.testing.assert_allclose(avg["w"], [2.0, 3.0])
+    np.testing.assert_allclose(avg["n"]["b"], 1.0)
+
+    ck = Checkpointer(str(tmp_path / "ck"), use_orbax=False)
+    for i, s in enumerate((a, b)):
+        ck.save(i + 1, {"params": s})
+    assert ck.steps() == [1, 2]
+    avg2 = average_last_k(ck, k=2)
+    np.testing.assert_allclose(avg2["w"], [2.0, 3.0])
+
+
 def test_npz_roundtrip(tmp_path):
     tree = {"a": np.arange(3), "b": {"c": np.ones((2, 2), np.float32)}}
     p = str(tmp_path / "t.npz")
