@@ -146,6 +146,8 @@ def read_reference_pickles(directory: str):
     """Reader for the reference per-utterance layout
     (slurp_embeddings_and_targets.py:19-28)."""
     for name in os.listdir(directory):
+        if not name.endswith(".pickle"):
+            continue
         with open(os.path.join(directory, name), "rb") as f:
             d = pickle.load(f)
         yield d["id"], d["embedding"], d["target"]

@@ -141,8 +141,14 @@ def main(argv=None) -> int:
     else:
         embedding_store.write_reference_pickles(out_dir, pickle_records)
 
+    from ..utils.metrics import MetricsWriter
+    rec = MetricsWriter(os.path.join(out_dir, "metrics.jsonl")).log(
+        split=args.split, modality=args.modality, records=n_done,
+        wall_seconds=watch.elapsed(),
+        audio_seconds=audio_seconds or None,
+        rtfx=watch.rtfx(audio_seconds) if audio_seconds else None)
     if args.modality == "audio" and audio_seconds:
-        print(f"RTFx: {watch.rtfx(audio_seconds):.1f}", file=sys.stderr)
+        print(f"RTFx: {rec['rtfx']:.1f}", file=sys.stderr)
     print(f"Done! Wrote {n_done} records to {out_dir}", file=sys.stderr)
     return 0
 

@@ -94,7 +94,7 @@ def test_extract_embeddings_audio(slurp_root, tmp_path, fmt, monkeypatch):
         assert emb.shape[-1] == 768 and tgt.shape == (101,)
         assert emb.shape[0] > 0
     else:
-        files = os.listdir(out)
+        files = [f for f in os.listdir(out) if f.endswith(".pickle")]
         assert len(files) == 6
         with open(out / files[0], "rb") as f:
             d = pickle.load(f)
