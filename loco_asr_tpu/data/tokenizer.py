@@ -54,6 +54,7 @@ class GPT2BPETokenizer:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.bos_token_id = vocab[bos_token]
         self.eos_token_id = vocab[eos_token]
+        self.vocab_size = len(vocab)
         self._cache: Dict[str, Tuple[str, ...]] = {}
 
     @classmethod

@@ -124,7 +124,8 @@ def main(argv=None) -> int:
 
     tokenizer = tok_lib.load_tokenizer(args.tokenizer)
     if args.model == "tiny":
-        cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=64, n_embd=32,
+        vocab = max(256, getattr(tokenizer, "vocab_size", 256))
+        cfg = g.tiny_gpt2_config(vocab_size=vocab, n_positions=64, n_embd=32,
                                  n_head=4)
     else:
         cfg = g.PRESETS[args.model]

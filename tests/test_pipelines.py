@@ -307,6 +307,32 @@ def test_eval_ppl_data_parallel_matches_single(fisher_text, tmp_path):
         np.testing.assert_allclose(a[k], b[k], rtol=1e-4)
 
 
+def test_eval_ppl_with_bpe_tokenizer_dir(fisher_text, tmp_path):
+    """The --tokenizer <dir> path: a real byte-level BPE vocab drives the
+    pipeline end to end."""
+    import json as _json
+
+    from loco_asr_tpu.data.tokenizer import bytes_to_unicode
+    from loco_asr_tpu.pipelines import eval_ppl
+
+    units = [bytes_to_unicode()[b] for b in range(256)]
+    vocab = {u: i for i, u in enumerate(units)}
+    vocab["<|endoftext|>"] = len(vocab)  # id 256: tiny model sizes to fit
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.json").write_text(_json.dumps(vocab))
+    (tok_dir / "merges.txt").write_text("#version: 0.2\n")
+
+    out = tmp_path / "bpe_out"
+    rc = eval_ppl.main(["-i", fisher_text, "-o", str(out), "--model", "tiny",
+                        "--context_type", "indep", "--bsize", "8",
+                        "--tokenizer", str(tok_dir)])
+    assert rc == 0
+    with open(out / "rec_id2ppl.json") as f:
+        ppl = json.load(f)
+    assert ppl and all(np.isfinite(v) for v in ppl.values())
+
+
 def test_eval_ppl_cli_parity_flags(fisher_text, tmp_path):
     """The reference's flags parse and behave (download_only exits 0)."""
     from loco_asr_tpu.pipelines import eval_ppl
