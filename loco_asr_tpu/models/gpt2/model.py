@@ -156,6 +156,10 @@ def gpt2_forward(
     (number of tokens already cached); positions and causal masking follow.
     """
     b, t = input_ids.shape
+    if t > cfg.n_positions:
+        # jnp.take would silently fill NaN position embeddings
+        raise ValueError(
+            f"sequence length {t} exceeds n_positions {cfg.n_positions}")
     past = 0 if cache_index is None else cache_index
     pos = jnp.arange(t) + past
     x = jnp.take(params["wte"]["weight"], input_ids, axis=0)

@@ -125,8 +125,11 @@ def main(argv=None) -> int:
     tokenizer = tok_lib.load_tokenizer(args.tokenizer)
     if args.model == "tiny":
         vocab = max(256, getattr(tokenizer, "vocab_size", 256))
-        cfg = g.tiny_gpt2_config(vocab_size=vocab, n_positions=64, n_embd=32,
-                                 n_head=4)
+        # size positions to the requested window so long-context smoke runs
+        # are real computations (feeding T > n_positions is an error)
+        cfg = g.tiny_gpt2_config(vocab_size=vocab,
+                                 n_positions=max(64, args.max_len or 0),
+                                 n_embd=32, n_head=4)
     else:
         cfg = g.PRESETS[args.model]
     if args.tokenizer == "char" and args.model != "tiny":
@@ -135,6 +138,12 @@ def main(argv=None) -> int:
         tokenizer.vocab_size = cfg.vocab_size  # keep ids inside the model vocab
     params = load_gpt2_params(args.checkpoint, cfg)
     max_len = args.max_len or cfg.n_positions
+    if max_len > cfg.n_positions:
+        # reference semantics: the window IS the model context
+        # (eval_ppl_with_pretrained_lm.py:71 uses model.config.n_positions)
+        logger.warning(f"--max_len {max_len} > n_positions "
+                       f"{cfg.n_positions}; clamping")
+        max_len = cfg.n_positions
 
     score = jax.jit(lambda p, ids: g.token_nll(
         g.gpt2_logits(p, cfg, ids)[0], ids))

@@ -198,9 +198,11 @@ def test_eval_ppl_max_len_matches_reference_algorithm(fisher_text, tmp_path):
         got = pickle.load(f)
 
     # reference algorithm, re-executed with the same model weights
-    cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=64, n_embd=32, n_head=4)
-    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    # (oracle config sized from the tokenizer, exactly as the pipeline does)
     tok = CharTokenizer()
+    cfg = g.tiny_gpt2_config(vocab_size=max(256, tok.vocab_size),
+                             n_positions=64, n_embd=32, n_head=4)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
     ds = lm_datasets.MaxLenTextDataset(fisher_text, tok, max_len=max_len,
                                        batch_size=5)
     want = {}
@@ -269,13 +271,16 @@ def test_eval_ppl_streaming_mode(fisher_text, tmp_path):
     assert rc == 0
     with open(out / "rec_id2nlls.pkl", "rb") as f:
         got = pickle.load(f)
-    cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=64, n_embd=32, n_head=4)
-    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    # oracle sized exactly as the pipeline sizes the tiny model for this run
     tok = CharTokenizer()
+    cfg = g.tiny_gpt2_config(vocab_size=max(256, tok.vocab_size),
+                             n_positions=4096, n_embd=32, n_head=4)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
     ds = lm_datasets.MaxLenTextDataset(fisher_text, tok, max_len=4096)
     for rec_id, tokens in ds.rec_id2tokens.items():
         ids = jnp.asarray(np.asarray(tokens, np.int32)[None])
         want = np.asarray(g.token_nll(g.gpt2_logits(params, cfg, ids)[0], ids))[0]
+        assert not np.isnan(want).any()  # guard against vacuous NaN==NaN
         np.testing.assert_allclose(got[rec_id], want, atol=1e-4, rtol=1e-4)
 
     # (b) long recordings: every token 1..T-1 scored exactly once
