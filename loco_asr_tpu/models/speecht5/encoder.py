@@ -49,7 +49,8 @@ def encoder_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> Dict:
 
 
 def _layer_body(cfg: SpeechT5Config, hidden, layer_params, *, attention_bias,
-                position_bias, dropout_rng, deterministic):
+                rel_pe, kv_valid_len, dropout_rng, deterministic,
+                attn_impl="dense"):
     act = layers.ACTIVATIONS[cfg.hidden_act]
     rngs = (None, None, None, None) if dropout_rng is None else jax.random.split(dropout_rng, 4)
 
@@ -57,9 +58,11 @@ def _layer_body(cfg: SpeechT5Config, hidden, layer_params, *, attention_bias,
         layer_params["attention"], hidden,
         num_heads=cfg.encoder_attention_heads,
         attention_bias=attention_bias,
-        position_bias=position_bias,
+        rel_pe=rel_pe, rel_max=cfg.encoder_max_relative_position,
+        kv_valid_len=kv_valid_len,
         dropout_rng=rngs[0], dropout_rate=cfg.attention_dropout,
         deterministic=deterministic,
+        attn_impl=attn_impl,
     )
     attn_out = layers.dropout(rngs[1], attn_out, cfg.hidden_dropout, deterministic)
     hidden = hidden + attn_out
@@ -91,6 +94,7 @@ def encoder(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     remat: bool = False,
+    attn_impl: str = "dense",
 ) -> jnp.ndarray:
     """[B, T, H] prenet features -> [B, T, H] encodings.
 
@@ -98,19 +102,25 @@ def encoder(
     ``remat`` rematerializes each layer on the backward pass (activation
     memory O(sqrt-ish) instead of O(layers) — jax.checkpoint around the
     scanned layer body, the standard TPU memory/FLOPs trade).
+    ``attn_impl`` "dense" materializes [T, T] scores; "flash" routes every
+    layer through the banded rel-pos Pallas kernel (O(T) memory —
+    conversation-length encoding).  Requires a right-padded (contiguous
+    prefix) attention_mask in flash mode.
     """
     hidden = layers.layer_norm(params["layer_norm"], hidden_states, eps=cfg.layer_norm_eps)
     if dropout_rng is not None:
         dropout_rng, sub = jax.random.split(dropout_rng)
         hidden = layers.dropout(sub, hidden, cfg.hidden_dropout, deterministic)
 
-    position_bias = attention.relative_position_bias_table(
-        params["embed_positions"]["pe_k"]["weight"], hidden.shape[1],
-        cfg.encoder_max_relative_position)
+    rel_pe = params["embed_positions"]["pe_k"]["weight"]
 
     attn_bias = None
+    kv_valid_len = None
     if attention_mask is not None:
         attn_bias = attention.padding_attention_bias(attention_mask)
+        kv_valid_len = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+    elif attn_impl == "flash":
+        kv_valid_len = jnp.full((hidden.shape[0],), hidden.shape[1], jnp.int32)
 
     stacked = stack_layers(params["layers"])
     n_layers = cfg.encoder_layers
@@ -120,7 +130,8 @@ def encoder(
         layer_rngs = None
 
     body = partial(_layer_body, cfg, attention_bias=attn_bias,
-                   position_bias=position_bias, deterministic=deterministic)
+                   rel_pe=rel_pe, kv_valid_len=kv_valid_len,
+                   deterministic=deterministic, attn_impl=attn_impl)
 
     def scan_fn(h, xs):
         lp, rng = xs if layer_rngs is not None else (xs, None)

@@ -65,7 +65,7 @@ def encode_speech(
     params: Dict, cfg: SpeechT5Config, input_values: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None, *,
     deterministic: bool = True, rng: Optional[jax.Array] = None,
-    remat: bool = False,
+    remat: bool = False, attn_impl: str = "dense",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Raw waveform [B, T] -> ([B, frames, H], frame mask).
 
@@ -80,7 +80,7 @@ def encode_speech(
         deterministic=deterministic, rng=r1)
     hidden = enc.encoder(params["encoder"]["wrapped_encoder"], cfg, hidden, mask,
                          deterministic=deterministic, dropout_rng=r2,
-                         remat=remat)
+                         remat=remat, attn_impl=attn_impl)
     return hidden, mask
 
 
@@ -88,11 +88,13 @@ def encode_text(
     params: Dict, cfg: SpeechT5Config, input_ids: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None, *,
     deterministic: bool = True, rng: Optional[jax.Array] = None,
+    attn_impl: str = "dense",
 ) -> jnp.ndarray:
     """Token ids [B, L] -> [B, L, H] (reference extract_*:88 text branch)."""
     hidden = prenets.text_encoder_prenet(params["encoder"]["prenet"], cfg, input_ids)
     return enc.encoder(params["encoder"]["wrapped_encoder"], cfg, hidden,
-                       attention_mask, deterministic=deterministic, dropout_rng=rng)
+                       attention_mask, deterministic=deterministic, dropout_rng=rng,
+                       attn_impl=attn_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +108,7 @@ def asr_forward(
     attention_mask: Optional[jnp.ndarray] = None,
     decoder_attention_mask: Optional[jnp.ndarray] = None,
     *, deterministic: bool = True, rng: Optional[jax.Array] = None,
-    remat: bool = False,
+    remat: bool = False, attn_impl: str = "dense",
 ) -> jnp.ndarray:
     """Teacher-forced ASR forward -> vocab logits [B, L, V]."""
     r1 = r2 = r3 = None
@@ -115,7 +117,7 @@ def asr_forward(
     encoder_hidden, enc_mask = encode_speech(params, cfg, input_values,
                                              attention_mask,
                                              deterministic=deterministic, rng=r1,
-                                             remat=remat)
+                                             remat=remat, attn_impl=attn_impl)
     dec_in = prenets.text_decoder_prenet(params["decoder"]["prenet"], cfg,
                                          decoder_input_ids)
     dec_in = layers.dropout(r2, dec_in, cfg.positional_dropout, deterministic)
@@ -151,7 +153,7 @@ def asr_loss(
     input_values: jnp.ndarray, attention_mask: jnp.ndarray,
     labels: jnp.ndarray, *, label_pad_id: int = -100,
     deterministic: bool = False, rng: Optional[jax.Array] = None,
-    remat: bool = False,
+    remat: bool = False, attn_impl: str = "dense",
 ) -> Tuple[jnp.ndarray, Dict]:
     """Cross-entropy seq2seq loss with HF shift-right convention
     (decoder inputs = [start, labels[:-1]])."""
@@ -160,7 +162,8 @@ def asr_loss(
     shifted = jnp.where(shifted == label_pad_id, cfg.pad_token_id, shifted)
     logits = asr_forward(params, cfg, input_values, shifted,
                          attention_mask=attention_mask,
-                         deterministic=deterministic, rng=rng, remat=remat)
+                         deterministic=deterministic, rng=rng, remat=remat,
+                         attn_impl=attn_impl)
     valid = (labels != label_pad_id)
     tgt = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -51,11 +51,15 @@ def multi_head_attention(
     key_value_states: Optional[jnp.ndarray] = None,
     attention_bias: Optional[jnp.ndarray] = None,
     position_bias: Optional[jnp.ndarray] = None,
+    rel_pe: Optional[jnp.ndarray] = None,
+    rel_max: Optional[int] = None,
+    kv_valid_len: Optional[jnp.ndarray] = None,
     kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_index: Optional[jnp.ndarray] = None,
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     deterministic: bool = True,
+    attn_impl: str = "dense",
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Scaled dot-product MHA.
 
@@ -63,9 +67,18 @@ def multi_head_attention(
       hidden_states: [B, Tq, D] queries source.
       key_value_states: [B, Tk, D] for cross-attention (None => self-attn).
       attention_bias: additive mask broadcastable to [B, H, Tq, Tk].
-      position_bias: [Tq, Tk, head_dim] relative-position keys (SpeechT5).
+      position_bias: [Tq, Tk, head_dim] relative-position keys (SpeechT5) —
+        the literal HF formulation; prefer ``rel_pe`` (same numbers, no
+        O(T^2 * head_dim) tensor).
+      rel_pe: [2*rel_max, head_dim] relative-position key TABLE.  The rel
+        term factorizes as qpe = q.pe^T ([Tq, 2L] matmul) followed by a
+        Toeplitz band gather — identical math to ``position_bias``.
+      kv_valid_len: [B] int32 valid key count (right-padded batches); used
+        by the flash path in place of ``attention_bias``.
       kv_cache: {"k": [B,H,Tmax,hd], "v": ...} decode cache to update in place
         at ``cache_index`` (self-attention incremental decoding).
+      attn_impl: "dense" (materialized [Tq, Tk] scores) or "flash"
+        (ops.pallas blockwise kernel, O(T) memory — self-attention only).
 
     Returns (output [B, Tq, D], updated kv_cache or None).
     """
@@ -90,9 +103,37 @@ def multi_head_attention(
         v = jax.lax.dynamic_update_slice(kv_cache["v"], v, (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
+    use_flash = (attn_impl == "flash" and kv_cache is None
+                 and key_value_states is None
+                 and (deterministic or dropout_rate == 0.0))
+    if use_flash:  # attention-prob dropout requires the dense path
+        # q is already pre-scaled (HF contract: scale applies to both the
+        # content and rel terms), so the kernel runs with scale=1.
+        from .pallas import flash_attention
+
+        out = flash_attention(q, k, v, causal=False, scale=1.0,
+                              rel_pe=rel_pe, kv_valid_len=kv_valid_len)
+        out = _merge_heads(out)
+        out = layers.dense(params["out_proj"], out)
+        return out, new_cache
+
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
 
-    if position_bias is not None:
+    if rel_pe is not None:
+        # factorized rel bias: qpe = q . pe^T, then the Toeplitz band gather
+        # scores[b,h,i,j] += qpe[b,h,i, clip(i-j,-L,L-1)+L] — same numbers as
+        # the position_bias einsum without the [Tq,Tk,head_dim] tensor.
+        L = rel_max if rel_max is not None else rel_pe.shape[0] // 2
+        tq, tk = q.shape[2], k.shape[2]
+        qpe = jnp.einsum("bhid,md->bhim", q, rel_pe.astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        idx = jnp.clip(jnp.arange(tq)[:, None] - jnp.arange(tk)[None, :],
+                       -L, L - 1) + L
+        b, h = q.shape[0], q.shape[1]
+        rel = jnp.take_along_axis(
+            qpe, jnp.broadcast_to(idx, (b, h, tq, tk)), axis=-1)
+        scores = scores + rel
+    elif position_bias is not None:
         # rel bias: scores[b,h,i,j] += q[b,h,i,:] . pe_k[i,j,:]
         rel = jnp.einsum("bhid,ijd->bhij", q, position_bias.astype(q.dtype),
                          preferred_element_type=jnp.float32)

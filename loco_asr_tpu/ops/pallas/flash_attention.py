@@ -26,6 +26,10 @@ NEG_INF = -1e30
 _LANES = 128
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
                   scale: float, causal: bool, block_q: int, block_k: int,
                   num_k_blocks: int):
@@ -206,20 +210,324 @@ def _bwd(causal, scale, block_q, block_k, interpret, residuals, g):
 _flash_attention.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# Relative-position + key-padding variant (SpeechT5 encoder long-context path)
+#
+# HF SpeechT5 relative attention (ops/attention.py:93-135 pins the dense
+# contract): s[i,j] = scale*q[i].k[j] + scale*q[i].pe[clip(i-j,-L,L-1)+L].
+# The rel term factorizes as qpe[i, m] = scale*q[i].pe[m]  (one [T,2L] matmul)
+# followed by a Toeplitz band-select m = clip(i-j)+L.  Mosaic has no gather,
+# so the select is restructured:
+#   outside:  y[i, j] = qpe[i, (r - j) mod Wp]   (r = i mod block_q) — computed
+#             as ONE einsum against a pre-sheared PE table (no gather at all)
+#   in-kernel: roll right by (D + L) mod Wp  ->  z[r, c] = qpe[r, r-c+D+L]
+#             (D = q_start - k_start), slice the first block_k lanes, and
+#             recover the two clip columns (m=0, m=2L-1) with iota-masked
+#             lane sums.  All ops are Mosaic-lowerable (pltpu.roll verified).
+# ---------------------------------------------------------------------------
+
+
+def _rel_shear_table(pe_pad: jnp.ndarray, block_q: int, wp: int) -> jnp.ndarray:
+    """[Wp, D] zero-padded rel-PE table -> sheared [block_q, Wp, D] table with
+    peS[r, j] = pe_pad[(r - j) mod Wp], so that einsum(q, peS) directly yields
+    the per-row sheared qpe the kernel consumes."""
+    r = jnp.arange(block_q)[:, None]
+    j = jnp.arange(wp)[None, :]
+    return jnp.take(pe_pad, (r - j) % wp, axis=0)
+
+
+def _flash_rel_kernel(q_ref, k_ref, v_ref, y_ref, vl_ref, o_ref, lse_ref,
+                      m_scr, l_scr, acc_scr, *,
+                      scale: float, causal: bool, block_q: int, block_k: int,
+                      num_k_blocks: int, rel_max: int, wp: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+    run = (not causal) or (k_start <= q_start + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)                  # [Bq, D]
+        k = k_ref[0].astype(jnp.float32)                  # [Bk, D]
+        v = v_ref[0].astype(jnp.float32)                  # [Bk, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        # --- relative-position band (y is pre-scaled sheared qpe) ---
+        y = y_ref[0].astype(jnp.float32)                  # [Bq, Wp]
+        d_off = q_start - k_start
+        t = jax.lax.rem(d_off + rel_max, wp)
+        t = jnp.where(t < 0, t + wp, t)
+        z = pltpu.roll(y, t, axis=1)[:, :block_k]         # interior band
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        idx_true = rows - cols + d_off + rel_max          # unclipped pe index
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 0)
+        j2 = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 1)
+        m_of = jax.lax.rem(r2 - j2 + wp * 2, wp)          # true column of y
+        col0 = jnp.sum(jnp.where(m_of == 0, y, 0.0), axis=1, keepdims=True)
+        colL = jnp.sum(jnp.where(m_of == 2 * rel_max - 1, y, 0.0),
+                       axis=1, keepdims=True)
+        rel = jnp.where(idx_true <= 0, col0,
+                        jnp.where(idx_true >= 2 * rel_max - 1, colL, z))
+        s = s + rel
+
+        if causal:
+            s = jnp.where((k_start + cols) <= (q_start + rows), s, NEG_INF)
+        vl = vl_ref[0, 0, 0]                              # valid key length
+        s = jnp.where((k_start + cols) < vl, s, NEG_INF)
+
+        m_prev = m_scr[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        lse = (m_scr[:, 0:1] + jnp.log(denom)).astype(lse_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_rel_forward(q, k, v, pe, valid_len, *, causal, scale, block_q,
+                       block_k, interpret):
+    """Forward with rel-pos band + key-padding mask.
+
+    pe: [2L, D] relative-position key table (HF SpeechT5 layout).
+    valid_len: [B] int32 number of valid key positions per batch element.
+    Returns (out [B,H,Tq,D], lse [B,H,Tq]).
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    rel_max = pe.shape[0] // 2
+    block_q = min(block_q, _round_up(max(8, tq), 8))
+    block_k = min(block_k, _LANES)
+    wp = _round_up(max(2 * rel_max, block_k), _LANES)
+
+    pq = -tq % block_q
+    pk = -tk % block_k
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    tq_p, tk_p = q.shape[2], k.shape[2]
+
+    # sheared, pre-scaled qpe: y[.., i, j] = scale * q[i] . pe[(i%Bq - j) % Wp]
+    pe_pad = jnp.pad(pe.astype(jnp.float32), ((0, wp - 2 * rel_max), (0, 0)))
+    pe_sheared = _rel_shear_table(pe_pad, block_q, wp)     # [Bq, Wp, D]
+    qb = q.reshape(b, h, tq_p // block_q, block_q, d).astype(jnp.float32)
+    y = jnp.einsum("bhnrd,rjd->bhnrj", qb * scale, pe_sheared,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(b, h, tq_p, wp)
+
+    vl = jnp.broadcast_to(
+        jnp.minimum(valid_len, tk).astype(jnp.int32)[:, None, None, None],
+        (b, h, 8, _LANES))
+
+    qf = q.reshape(b * h, tq_p, d)
+    kf = k.reshape(b * h, tk_p, d)
+    vf = v.reshape(b * h, tk_p, d)
+    yf = y.reshape(b * h, tq_p, wp)
+    vlf = vl.reshape(b * h, 8, _LANES)
+    num_q = tq_p // block_q
+    num_k = tk_p // block_k
+
+    kernel = functools.partial(
+        _flash_rel_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_k_blocks=num_k, rel_max=rel_max, wp=wp)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b * h, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, wp), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, 8, _LANES), lambda bh, qi, ki: (bh, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda bh, qi, ki: (bh, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tq_p, 8), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, yf, vlf)
+
+    out = out.reshape(b, h, tq_p, d)[:, :, :tq]
+    lse = lse[..., 0].reshape(b, h, tq_p)[:, :, :tq]
+    return out, lse
+
+
+def _flash_rel_backward(q, k, v, pe, valid_len, out, lse, g, *,
+                        causal, scale, block_k):
+    """Blockwise backward with the rel-pos band.  The band scatter
+    (ds -> dqpe) dualizes into a Toeplitz GATHER from ds, so the whole
+    backward is gathers + matmuls (XLA-friendly, no scatter ops)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    rel_max = pe.shape[0] // 2
+    two_l = 2 * rel_max
+    pk = -tk % block_k
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    tk_p = k.shape[2]
+    num_k = tk_p // block_k
+
+    qf = q.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    pef = pe.astype(jnp.float32)
+    delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)       # [B,H,Tq]
+    q_pos = jnp.arange(tq)
+    vl = jnp.minimum(valid_len, tk).astype(jnp.int32)            # [B]
+    qpe = jnp.einsum("bhid,md->bhim", qf, pef,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32) * scale  # [B,H,Tq,2L]
+
+    k_blocks = k.reshape(b, h, num_k, block_k, d).transpose(2, 0, 1, 3, 4)
+    v_blocks = v.reshape(b, h, num_k, block_k, d).transpose(2, 0, 1, 3, 4)
+
+    ms = jnp.arange(two_l)
+
+    def body(carry, inputs):
+        dq_acc, dqpe_acc = carry
+        j, k_j, v_j = inputs
+        k_pos = j * block_k + jnp.arange(block_k)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_j.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * scale
+        dist = q_pos[:, None] - k_pos[None, :]                   # [Tq, Bk]
+        idx = jnp.clip(dist, -rel_max, rel_max - 1) + rel_max
+        rel = jnp.take_along_axis(
+            qpe, jnp.broadcast_to(idx, (b, h, tq, block_k)), axis=-1)
+        s = s + rel
+        if causal:
+            s = jnp.where((dist >= 0)[None, None], s, NEG_INF)
+        s = jnp.where((k_pos[None, :] < vl[:, None])[:, None, None, :],
+                      s, NEG_INF)
+        p = jnp.exp(s - lse[..., None])                          # [B,H,Tq,Bk]
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v_j.astype(jnp.float32))
+        ds = p * (dp - delta[..., None])
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds,
+                                     k_j.astype(jnp.float32)) * scale
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+
+        # dqpe: interior band via gather from ds; clip columns via masked sums
+        # interior m = i - kpos + L  <=>  column c = i + L - m - j*Bk
+        cidx = q_pos[:, None] + rel_max - ms[None, :] - j * block_k  # [Tq,2L]
+        in_rng = (cidx >= 0) & (cidx < block_k)
+        ds_gather = jnp.take_along_axis(
+            ds, jnp.broadcast_to(jnp.clip(cidx, 0, block_k - 1),
+                                 (b, h, tq, two_l)), axis=-1)
+        interior = jnp.where(in_rng[None, None], ds_gather, 0.0)
+        # clip masks exclude the boundary indices owned by the clip columns
+        interior = interior * ((ms > 0) & (ms < two_l - 1))[None, None, None]
+        low = jnp.sum(jnp.where((dist <= -rel_max)[None, None], ds, 0.0),
+                      axis=-1)                                   # m = 0
+        high = jnp.sum(jnp.where((dist >= rel_max - 1)[None, None], ds, 0.0),
+                       axis=-1)                                  # m = 2L-1
+        dqpe_j = interior.at[..., 0].add(low).at[..., two_l - 1].add(high)
+        dqpe_acc = dqpe_acc + dqpe_j
+        return (dq_acc, dqpe_acc), (dk_j, dv_j)
+
+    (dq, dqpe), (dk_blocks, dv_blocks) = jax.lax.scan(
+        body, (jnp.zeros_like(qf), jnp.zeros_like(qpe)),
+        (jnp.arange(num_k), k_blocks, v_blocks))
+    dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, tk_p, d)[:, :, :tk]
+    dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, tk_p, d)[:, :, :tk]
+    dq = dq + jnp.einsum("bhim,md->bhid", dqpe, pef,
+                         preferred_element_type=jnp.float32) * scale
+    dpe = jnp.einsum("bhim,bhid->md", dqpe, qf,
+                     preferred_element_type=jnp.float32) * scale
+    import numpy as _np
+    dvl = _np.zeros(valid_len.shape, jax.dtypes.float0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dpe.astype(pe.dtype), dvl)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention_rel(q, k, v, pe, valid_len, causal, scale, block_q,
+                         block_k, interpret):
+    out, _ = _flash_rel_forward(q, k, v, pe, valid_len, causal=causal,
+                                scale=scale, block_q=block_q, block_k=block_k,
+                                interpret=interpret)
+    return out
+
+
+def _rel_fwd(q, k, v, pe, valid_len, causal, scale, block_q, block_k,
+             interpret):
+    out, lse = _flash_rel_forward(q, k, v, pe, valid_len, causal=causal,
+                                  scale=scale, block_q=block_q,
+                                  block_k=block_k, interpret=interpret)
+    return out, (q, k, v, pe, valid_len, out, lse)
+
+
+def _rel_bwd(causal, scale, block_q, block_k, interpret, residuals, g):
+    q, k, v, pe, valid_len, out, lse = residuals
+    return _flash_rel_backward(q, k, v, pe, valid_len, out, lse, g,
+                               causal=causal, scale=scale, block_k=block_k)
+
+
+_flash_attention_rel.defvjp(_rel_fwd, _rel_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     causal: bool = True, scale: Optional[float] = None,
+    rel_pe: Optional[jnp.ndarray] = None,
+    kv_valid_len: Optional[jnp.ndarray] = None,
     block_q: int = 128, block_k: int = 128,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """[B, H, T, D] q/k/v -> [B, H, Tq, D] attention output.
 
     Differentiable (custom VJP, blockwise backward).  Tq/Tk are padded to
-    the block sizes internally and cropped; padded KEY positions are
-    excluded by the causal mask (causal=True) or require Tk % block_k == 0.
+    the block sizes internally and cropped.
+
+    rel_pe: optional [2L, D] relative-position key table (HF SpeechT5
+      semantics: s += scale * q . pe[clip(i-j, -L, L-1) + L]); gradients
+      flow to it.  Enables the banded-rel kernel (encoder long-context).
+    kv_valid_len: optional [B] int32 valid key count per batch row; keys at
+      or beyond it are masked (variable-length/non-causal batches).  Without
+      it, non-causal padding requires Tk % block_k == 0 on the plain path.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = scale if scale is not None else q.shape[-1] ** -0.5
-    return _flash_attention(q, k, v, causal, scale, block_q, block_k,
-                            interpret)
+    if rel_pe is None and kv_valid_len is None:
+        return _flash_attention(q, k, v, causal, scale, block_q, block_k,
+                                interpret)
+    b = q.shape[0]
+    tk = k.shape[2]
+    if kv_valid_len is None:
+        kv_valid_len = jnp.full((b,), tk, jnp.int32)
+    if rel_pe is None:
+        # mask-only: a zero 2-row table makes the rel band identically zero
+        rel_pe = jnp.zeros((2, q.shape[-1]), q.dtype)
+    return _flash_attention_rel(q, k, v, rel_pe, kv_valid_len, causal, scale,
+                                block_q, block_k, interpret)

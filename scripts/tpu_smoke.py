@@ -90,8 +90,49 @@ def main() -> int:
             p, cfg, e, m, beam_size=4, max_len=8))(params, enc, mask)
         assert bool((hyp.lengths <= 8).all())
 
+    def flash_rel_long():
+        # conversation-length rel-pos encoding: T=16k, beyond dense memory
+        from loco_asr_tpu.ops.pallas import flash_attention
+
+        T, L = 16384, 160
+        q = jnp.asarray(rng.standard_normal((1, 4, T, 64)).astype(np.float32) * 0.1)
+        pe = jnp.asarray(rng.standard_normal((2 * L, 64)).astype(np.float32) * 0.1)
+        vl = jnp.asarray(np.array([T - 100], np.int32))
+        out = jax.jit(lambda q, pe: flash_attention(
+            q, q, q, causal=False, scale=64 ** -0.5, rel_pe=pe,
+            kv_valid_len=vl))(q, pe)
+        assert bool(jnp.isfinite(out).all())
+
+    def flash_rel_parity():
+        # on-chip parity vs the dense rel path at T=256
+        from loco_asr_tpu.ops.pallas import flash_attention
+
+        T, L = 256, 160
+        q = jnp.asarray(rng.standard_normal((2, 4, T, 64)).astype(np.float32) * 0.3)
+        pe = jnp.asarray(rng.standard_normal((2 * L, 64)).astype(np.float32) * 0.3)
+        vl = jnp.asarray(np.array([T, T - 37], np.int32))
+        scale = 64 ** -0.5
+        out = jax.jit(lambda q, pe: flash_attention(
+            q, q, q, causal=False, scale=scale, rel_pe=pe,
+            kv_valid_len=vl))(q, pe)
+
+        def dense(q, pe):
+            i = jnp.arange(T)[:, None]
+            j = jnp.arange(T)[None, :]
+            idx = jnp.clip(i - j, -L, L - 1) + L
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, q) * scale
+            s = s + jnp.einsum("bhqd,qkd->bhqk", q, pe[idx]) * scale
+            s = jnp.where((j < vl[:, None, None, None]), s, -1e30)
+            return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), q)
+        with jax.default_matmul_precision("highest"):
+            want = jax.jit(dense)(q, pe)
+        diff = float(jnp.abs(out - want).max())
+        assert diff < 1e-3, f"flash-rel vs dense diff {diff}"
+
     for name, fn in (("pallas flash attention", flash),
                      ("pallas flash attention grad", flash_grad),
+                     ("pallas flash rel-pos 16k", flash_rel_long),
+                     ("pallas flash rel-pos parity", flash_rel_parity),
                      ("pallas fused log-mel", logmel),
                      ("pallas conv frontend", conv_frontend),
                      ("speecht5 encoder (full size)", encoder),

@@ -104,3 +104,81 @@ def test_fused_log_mel_matches_hf():
     want = fe._extract_mel_features(wav)
     got = np.asarray(fused_log_mel(jnp.asarray(wav), interpret=True))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Relative-position + key-padding flash kernel (SpeechT5 encoder long-context)
+# ---------------------------------------------------------------------------
+
+def _dense_rel(q, k, v, pe, vl, scale, causal=False):
+    """Oracle: HF SpeechT5 rel-attention math (ops/attention.py:93-135)."""
+    tq, tk = q.shape[2], k.shape[2]
+    L = pe.shape[0] // 2
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    i = jnp.arange(tq)[:, None]
+    j = jnp.arange(tk)[None, :]
+    idx = jnp.clip(i - j, -L, L - 1) + L
+    s = s + jnp.einsum("bhqd,qkd->bhqk", q, pe[idx]) * scale
+    if causal:
+        s = jnp.where((i >= j)[None, None], s, -1e30)
+    s = jnp.where((j < vl[:, None, None, None]), s, -1e30)
+    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+
+
+@pytest.mark.parametrize("tq,L,causal", [(256, 160, False), (200, 160, False),
+                                         (300, 20, False), (256, 160, True)])
+def test_flash_rel_matches_dense(tq, L, causal):
+    rng = np.random.RandomState(0)
+    b, h, d = 2, 3, 64
+    q = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(2 * L, d).astype(np.float32) * 0.3)
+    vl = jnp.asarray(np.array([tq, max(1, tq - 37)], np.int32))
+    scale = d ** -0.5
+    out = flash_attention(q, k, v, causal=causal, scale=scale, rel_pe=pe,
+                          kv_valid_len=vl, interpret=True)
+    want = _dense_rel(q, k, v, pe, vl, scale, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flash_mask_only_matches_dense():
+    """kv_valid_len without rel_pe: non-causal variable-length batches."""
+    rng = np.random.RandomState(1)
+    b, h, t, d = 2, 2, 200, 64
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    vl = jnp.asarray(np.array([t, 153], np.int32))
+    scale = d ** -0.5
+    out = flash_attention(q, k, v, causal=False, scale=scale,
+                          kv_valid_len=vl, interpret=True)
+    pe0 = jnp.zeros((2, d), jnp.float32)
+    want = _dense_rel(q, k, v, pe0, vl, scale, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_rel_gradients_match_dense(causal):
+    rng = np.random.RandomState(2)
+    b, h, t, d, L = 2, 2, 200, 64, 40
+    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(2 * L, d).astype(np.float32) * 0.3)
+    vl = jnp.asarray(np.array([t, t - 31], np.int32))
+    g = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    scale = d ** -0.5
+
+    f1 = lambda q, k, v, pe: jnp.vdot(flash_attention(
+        q, k, v, causal=causal, scale=scale, rel_pe=pe, kv_valid_len=vl,
+        interpret=True), g)
+    f2 = lambda q, k, v, pe: jnp.vdot(_dense_rel(q, k, v, pe, vl, scale,
+                                                 causal), g)
+    g1 = jax.grad(f1, argnums=(0, 1, 2, 3))(q, k, v, pe)
+    g2 = jax.grad(f2, argnums=(0, 1, 2, 3))(q, k, v, pe)
+    for name, a, b_ in zip("q k v pe".split(), g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=1e-4, err_msg=f"d{name}")
