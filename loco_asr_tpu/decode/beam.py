@@ -41,11 +41,15 @@ def greedy_decode(
     *, max_len: int = 100,
     fusion: Optional[FusionLM] = None,
     lm_cache: Optional[Dict] = None, lm_start: Optional[jnp.ndarray] = None,
+    lm_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode -> (tokens [B, max_len], lengths [B]).
 
-    Pass a primed ``lm_cache``/``lm_start`` for conversation carry-over
-    (decode/context.py); the LM then conditions on prior utterances.
+    Pass a primed ``lm_cache``/``lm_start``/``lm_mask`` for conversation
+    carry-over (decode/context.py); the LM then conditions on prior
+    utterances.  ``lm_mask`` [B, cache_len] marks valid cache positions
+    (ragged per-stream histories leave stale KV slots that causality does
+    not hide).
     """
     b = encoder_hidden.shape[0]
     caches = dec.init_decode_cache(cfg, b, max_len + 1, encoder_hidden.dtype)
@@ -59,7 +63,8 @@ def greedy_decode(
             params, cfg, tok, t, encoder_hidden, encoder_mask, caches)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if fusion is not None:
-            lm_logp, lm_cache = fusion.step(tok, lm_start + t, lm_cache)
+            lm_logp, lm_cache = fusion.step(tok, lm_start + t, lm_cache,
+                                            attention_mask=lm_mask)
             logp = logp + lm_logp
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
@@ -91,6 +96,7 @@ def beam_search(
     *, beam_size: int = 5, max_len: int = 100, length_penalty: float = 1.0,
     fusion: Optional[FusionLM] = None,
     lm_cache: Optional[Dict] = None, lm_start: Optional[jnp.ndarray] = None,
+    lm_mask: Optional[jnp.ndarray] = None,
 ) -> BeamHypotheses:
     """Batched beam search, fully on device.
 
@@ -105,6 +111,7 @@ def beam_search(
     if fusion is not None and lm_cache is None:
         lm_cache = fusion.init_cache(b * k, max_len + 1)
         lm_start = jnp.zeros((), jnp.int32)
+    lm_mask_k = _tile_beam(lm_mask, k) if lm_mask is not None else None
 
     # freeze mask for finished rows: pad gets 0, everything else -inf
     pad_onehot = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
@@ -116,7 +123,8 @@ def beam_search(
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if fusion is not None:
             lm_logp, new_lm_cache = fusion.step(last.reshape(b * k, 1),
-                                                lm_start + t, lm_cache)
+                                                lm_start + t, lm_cache,
+                                                attention_mask=lm_mask_k)
             logp = logp + lm_logp
         else:
             new_lm_cache = lm_cache

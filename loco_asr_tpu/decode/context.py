@@ -8,9 +8,18 @@ the fusion LM's KV cache persists across utterances of a conversation, so
 utterance n is scored conditioned on utterances 1..n-1 without recomputing
 them (O(history) once instead of per step).
 
-Rolling policy: a fixed-size token ring; when the history would overflow
-the LM's positions, the oldest half is dropped and the cache rebuilt (one
-forward over the kept tail) — amortized O(1) refreshes per conversation.
+Ragged batches: streams decode different numbers of tokens per utterance.
+Offsets are tracked PER STREAM (gpt2_forward supports a [B] cache_index):
+each stream's KV lands at its own contiguous position, so every slot below
+a stream's offset is real history and causality alone hides everything
+else — batched carry-over matches each stream decoded alone bit-for-bit
+(a single max-aligned offset would leave attendable stale pad KVs in
+shorter streams' pasts).
+
+Rolling policy: a fixed-size token ring; when any stream's history would
+overflow the LM's positions, the oldest half of each stream's history is
+dropped and the cache rebuilt (one forward over the right-padded kept
+tails) — amortized O(1) refreshes per conversation.
 """
 
 from __future__ import annotations
@@ -29,8 +38,9 @@ class ConversationContext:
     """Per-conversation LM state for fused decoding (batch of streams).
 
     Usage per utterance:
-        cache, start = ctx.state()
-        toks, lens = greedy_decode(..., fusion=lm, lm_cache=cache, lm_start=start)
+        cache, start = ctx.state()      # start: [B] per-stream offsets
+        toks, lens = greedy_decode(..., fusion=lm, lm_cache=cache,
+                                   lm_start=start)
         ctx.append(toks, lens)
     """
 
@@ -41,51 +51,62 @@ class ConversationContext:
 
     def __post_init__(self):
         self.max_positions = self.max_positions or self.lm.cfg.n_positions
-        self._tokens: List[np.ndarray] = []   # history per stream, host side
+        # host-side per-stream history (trimmed to true length, no pads)
+        self._history: List[List[np.ndarray]] = [[] for _ in range(self.batch)]
         self._cache = self.lm.init_cache(self.batch, self.max_positions)
-        self._offset = jnp.zeros((), jnp.int32)
+        self._offsets = np.zeros((self.batch,), np.int32)
 
     @property
     def history_len(self) -> int:
-        return int(self._offset)
+        return int(self._offsets.max(initial=0))
 
     def state(self) -> Tuple[Dict, jnp.ndarray]:
-        return self._cache, self._offset
+        return self._cache, jnp.asarray(self._offsets)
 
     def append(self, tokens: jnp.ndarray, lengths: jnp.ndarray) -> None:
         """Fold a decoded utterance [B, L] into the rolling context.
 
-        The decode loop already wrote these tokens' KV into the cache (the
-        fusion LM stepped over them), so appending = advancing the offset to
-        the longest emitted length; per-stream ragged tails stay in the
-        cache but are masked by causality for shorter streams.  When the
-        window would overflow, the kept tail is re-encoded.
+        The decode loop already wrote these tokens' KV into the cache at
+        each stream's own offset (the fusion LM stepped over them), so
+        appending = advancing each stream's offset by its emitted length.
+        When any stream's window would overflow, the kept tails are
+        re-encoded.
         """
         tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
-        step = int(lengths.max()) if lengths.size else 0
-        self._tokens.append(tokens[:, :step])
-        new_off = int(self._offset) + step
-        if new_off > self.max_positions - self.decode_reserve:
+        lengths = np.asarray(lengths, np.int64)
+        for s in range(self.batch):
+            n = int(lengths[s])
+            self._history[s].append(tokens[s, :n].astype(np.int32))
+        self._offsets = self._offsets + lengths.astype(np.int32)
+        if int(self._offsets.max(initial=0)) > \
+                self.max_positions - self.decode_reserve:
             self._refresh()
-        else:
-            self._offset = jnp.asarray(new_off, jnp.int32)
 
     def _refresh(self) -> None:
-        """Drop the oldest half of the history and rebuild the cache."""
-        hist = np.concatenate(self._tokens, axis=1) if self._tokens else \
-            np.zeros((self.batch, 0), np.int32)
-        keep = min(hist.shape[1] // 2,
-                   self.max_positions - self.decode_reserve)
-        tail = hist[:, hist.shape[1] - keep:]
-        self._tokens = [tail]
+        """Drop the oldest half of each stream's history and rebuild the
+        cache from the right-padded kept tails.  Pad slots only ever sit at
+        positions at-or-beyond a stream's new offset, so causality keeps
+        them out of every later softmax."""
+        limit = self.max_positions - self.decode_reserve
+        tails = []
+        for s in range(self.batch):
+            hist = (np.concatenate(self._history[s])
+                    if self._history[s] else np.zeros((0,), np.int32))
+            keep = min(len(hist) // 2, limit)
+            tails.append(hist[len(hist) - keep:])
+        max_keep = max((len(t) for t in tails), default=0)
+        self._history = [[t] for t in tails]
         self._cache = self.lm.init_cache(self.batch, self.max_positions)
-        self._offset = jnp.zeros((), jnp.int32)
-        if keep > 0:
-            self._cache, self._offset = self.lm.prime(
-                jnp.asarray(tail.astype(np.int32)), self._cache, self._offset)
+        self._offsets = np.asarray([len(t) for t in tails], np.int32)
+        if max_keep > 0:
+            padded = np.zeros((self.batch, max_keep), np.int32)
+            for s, t in enumerate(tails):
+                padded[s, :len(t)] = t
+            self._cache, _ = self.lm.prime(
+                jnp.asarray(padded), self._cache,
+                jnp.zeros((self.batch,), jnp.int32))
 
     def reset(self) -> None:
-        self._tokens = []
+        self._history = [[] for _ in range(self.batch)]
         self._cache = self.lm.init_cache(self.batch, self.max_positions)
-        self._offset = jnp.zeros((), jnp.int32)
+        self._offsets = np.zeros((self.batch,), np.int32)

@@ -34,18 +34,27 @@ class FusionLM:
         return g.init_kv_cache(self.cfg, batch, max_len, dtype)
 
     def prime(self, context_ids: jnp.ndarray, cache: Dict,
-              start: jnp.ndarray) -> Tuple[Dict, jnp.ndarray]:
+              start: jnp.ndarray,
+              attention_mask: jnp.ndarray = None) -> Tuple[Dict, jnp.ndarray]:
         """Feed conversation-context tokens [B, T] into the cache starting
-        at offset ``start``; returns (cache, next_offset)."""
+        at offset ``start``; returns (cache, next_offset).
+        ``attention_mask``: optional [B, cache_len] validity over cache
+        positions (ragged histories — decode/context.py)."""
         _, cache = g.gpt2_forward(self.params, self.cfg, context_ids,
+                                  attention_mask=attention_mask,
                                   kv_caches=cache, cache_index=start)
         return cache, start + context_ids.shape[1]
 
     def step(self, token_ids: jnp.ndarray, step: jnp.ndarray,
-             cache: Dict) -> Tuple[jnp.ndarray, Dict]:
+             cache: Dict,
+             attention_mask: jnp.ndarray = None) -> Tuple[jnp.ndarray, Dict]:
         """One incremental step: [B, 1] tokens at position ``step`` ->
-        (weighted log-probs [B, V], cache)."""
+        (weighted log-probs [B, V], cache).
+        ``attention_mask``: optional [B, cache_len] validity over cache
+        positions; stale per-stream history tails (ragged batches) must be
+        masked here — causality alone does NOT hide positions < step."""
         logits, cache = g.gpt2_logits(self.params, self.cfg, token_ids,
+                                      attention_mask=attention_mask,
                                       kv_caches=cache, cache_index=step)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         return self.weight * logp, cache

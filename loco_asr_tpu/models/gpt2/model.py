@@ -104,8 +104,17 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
 
     new_cache = None
     if kv_cache is not None:
-        k = jax.lax.dynamic_update_slice(kv_cache["k"], k, (0, 0, cache_index, 0))
-        v = jax.lax.dynamic_update_slice(kv_cache["v"], v, (0, 0, cache_index, 0))
+        if getattr(cache_index, "ndim", 0) == 1:
+            # per-stream write offsets (ragged conversation histories)
+            upd = jax.vmap(lambda c, u, i: jax.lax.dynamic_update_slice(
+                c, u, (0, i, 0)))
+            k = upd(kv_cache["k"], k, cache_index)
+            v = upd(kv_cache["v"], v, cache_index)
+        else:
+            k = jax.lax.dynamic_update_slice(kv_cache["k"], k,
+                                             (0, 0, cache_index, 0))
+            v = jax.lax.dynamic_update_slice(kv_cache["v"], v,
+                                             (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
     if attn_impl == "flash" and kv_cache is None:
@@ -154,6 +163,10 @@ def gpt2_forward(
 
     Incremental mode: pass ``kv_caches`` (fixed shape) and ``cache_index``
     (number of tokens already cached); positions and causal masking follow.
+    ``cache_index`` may be a [B] int32 vector for per-stream offsets
+    (ragged conversation carry-over, decode/context.py) — each stream's
+    KV is then written at its own position and attends only its own
+    contiguous history.
     """
     b, t = input_ids.shape
     if t > cfg.n_positions:
@@ -161,9 +174,15 @@ def gpt2_forward(
         raise ValueError(
             f"sequence length {t} exceeds n_positions {cfg.n_positions}")
     past = 0 if cache_index is None else cache_index
-    pos = jnp.arange(t) + past
+    per_stream = getattr(past, "ndim", 0) == 1
+    if per_stream:
+        pos = jnp.arange(t)[None, :] + past[:, None]          # [B, T]
+        pos_emb = jnp.take(params["wpe"]["weight"], pos, axis=0)
+    else:
+        pos = jnp.arange(t) + past
+        pos_emb = jnp.take(params["wpe"]["weight"], pos, axis=0)[None]
     x = jnp.take(params["wte"]["weight"], input_ids, axis=0)
-    x = x + jnp.take(params["wpe"]["weight"], pos, axis=0)[None]
+    x = x + pos_emb
     if dropout_rng is not None:
         dropout_rng, sub = jax.random.split(dropout_rng)
         x = layers.dropout(sub, x, cfg.embd_pdrop, deterministic)
@@ -172,9 +191,15 @@ def gpt2_forward(
         bias = attention.causal_attention_bias(t, t)
     else:
         k_len = kv_caches["0"]["k"].shape[2]
-        qi = past + jnp.arange(t)[:, None]
-        kj = jnp.arange(k_len)[None, :]
-        bias = jnp.where(kj <= qi, 0.0, attention.NEG_INF)[None, None]
+        kj = jnp.arange(k_len)
+        if per_stream:
+            qi = past[:, None, None] + jnp.arange(t)[None, :, None]  # [B,T,1]
+            bias = jnp.where(kj[None, None, :] <= qi, 0.0,
+                             attention.NEG_INF)[:, None]             # [B,1,T,K]
+        else:
+            qi = past + jnp.arange(t)[:, None]
+            kj = kj[None, :]
+            bias = jnp.where(kj <= qi, 0.0, attention.NEG_INF)[None, None]
     if attention_mask is not None:
         bias = bias + attention.padding_attention_bias(attention_mask)
 

@@ -136,3 +136,60 @@ def test_decode_utterance_batch_wrapper(asr):
     toks, lens = decode_utterance_batch(params, cfg, wav, beam_size=3, max_len=8)
     assert toks.shape == (2, 8)
     assert np.all(np.asarray(lens) <= 8)
+
+
+def test_ragged_carryover_matches_solo_streams():
+    """Two streams with different history lengths batched together must
+    score the next utterance exactly as each stream decoded alone —
+    per-stream cache offsets keep stale pad KVs out of every softmax
+    (a max-aligned shared offset would leak them into shorter streams)."""
+    lm_cfg = g.tiny_gpt2_config(vocab_size=32, n_positions=32)
+    lm_params = g.gpt2_init(jax.random.PRNGKey(0), lm_cfg)
+    lm = FusionLM(lm_params, lm_cfg, weight=1.0)
+    P = 32
+
+    # utterance 1 (ragged): stream 0 emits 5 tokens, stream 1 emits 3,
+    # then the decode loop keeps stepping pads for the finished stream.
+    utt1 = np.array([[5, 6, 7, 8, 9],
+                     [11, 12, 13, 2, 2]], np.int32)   # 2 = pad steps
+    lens1 = np.array([5, 3])
+    utt2 = np.array([[20, 21, 22, 23],
+                     [24, 25, 26, 27]], np.int32)
+
+    # batched carry-over (exactly what greedy_decode does with a context)
+    cache = lm.init_cache(2, P)
+    start = jnp.zeros((2,), jnp.int32)
+    for t in range(utt1.shape[1]):
+        _, cache = lm.step(jnp.asarray(utt1[:, t:t + 1]), start + t, cache)
+    start2 = jnp.asarray(lens1.astype(np.int32))       # ctx.append semantics
+    got = []
+    for t in range(utt2.shape[1]):
+        lp, cache = lm.step(jnp.asarray(utt2[:, t:t + 1]), start2 + t, cache)
+        got.append(np.asarray(lp))
+    got = np.stack(got, axis=1)                        # [T2, ...] -> [B, T2, V]
+
+    # each stream alone, with only its true history
+    for s in range(2):
+        cache_s = lm.init_cache(1, P)
+        start_s = jnp.zeros((1,), jnp.int32)
+        for t in range(int(lens1[s])):
+            _, cache_s = lm.step(jnp.asarray(utt1[s:s + 1, t:t + 1]),
+                                 start_s + t, cache_s)
+        start2_s = jnp.asarray([int(lens1[s])], jnp.int32)
+        for t in range(utt2.shape[1]):
+            lp, cache_s = lm.step(jnp.asarray(utt2[s:s + 1, t:t + 1]),
+                                  start2_s + t, cache_s)
+            np.testing.assert_allclose(got[s, t], np.asarray(lp)[0],
+                                       atol=1e-6, rtol=1e-6,
+                                       err_msg=f"stream {s} step {t}")
+
+
+def test_context_append_tracks_per_stream_offsets():
+    lm_cfg = g.tiny_gpt2_config(vocab_size=16, n_positions=64)
+    lm = FusionLM(g.gpt2_init(jax.random.PRNGKey(0), lm_cfg), lm_cfg)
+    ctx = ConversationContext(lm, batch=2, max_positions=64, decode_reserve=8)
+    toks = jnp.asarray(np.arange(12, dtype=np.int32).reshape(2, 6))
+    ctx.append(toks, jnp.asarray(np.array([6, 2])))
+    _, start = ctx.state()
+    np.testing.assert_array_equal(np.asarray(start), [6, 2])
+    assert ctx.history_len == 6
