@@ -63,9 +63,9 @@ def read_sphere(path: str, channel: Optional[int] = None) -> Tuple[np.ndarray, i
 
     Supports ulaw / alaw / pcm (1-2 bytes) and 1-2 channels; ``channel``
     selects 0-based channel (sph2pipe -c 1/-c 2 equivalent with channel=0/1).
-    Shorten-compressed SPHERE ("embedded-shorten") is not supported; such
-    files must be pre-decompressed (same constraint as stock sph2pipe w/o
-    the shorten license).
+    Shorten-compressed SPHERE ("embedded-shorten-v2.xx", the common LDC
+    telephone-corpus coding sph2pipe decompresses) is decoded first-party
+    via ops/shorten (native/loco_audio.cc has the fast path).
     """
     with open(path, "rb") as f:
         magic = f.read(8)
@@ -88,10 +88,25 @@ def read_sphere(path: str, channel: Optional[int] = None) -> Tuple[np.ndarray, i
         n_bytes = int(fields.get("sample_n_bytes", 2))
         encoding = str(fields.get("sample_coding", "pcm"))
         byte_format = str(fields.get("sample_byte_format", "01"))
-        if "shorten" in encoding:
-            raise NotImplementedError(f"{path}: shorten-compressed SPHERE unsupported")
+        sample_count = fields.get("sample_count")
         f.seek(header_size)
         raw = f.read()
+
+    if "shorten" in encoding:
+        from . import shorten as shn
+        samples, ftype = shn.decode(raw, max_samples=sample_count)
+        vals = shn.internal_to_float(samples, ftype)  # [n, nchan]
+        if sample_count:
+            vals = vals[:sample_count]
+        if vals.shape[1] != n_channels:
+            raise ValueError(
+                f"{path}: shorten stream has {vals.shape[1]} channels, "
+                f"header says {n_channels}")
+        if n_channels > 1:
+            vals = vals[:, channel] if channel is not None else vals.mean(axis=1)
+        else:
+            vals = vals[:, 0]
+        return np.ascontiguousarray(vals, np.float32), sample_rate
 
     if encoding.startswith("ulaw") or encoding.startswith("mu-law"):
         pcm = ulaw_to_linear(np.frombuffer(raw, np.uint8))

@@ -66,35 +66,79 @@ def make_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
     return Mesh(grid, AXES.names)
 
 
+def slice_groups(devices: Sequence[jax.Device],
+                 num_slices: Optional[int] = None) -> list:
+    """Group devices by TPU slice.  Uses each device's ``slice_index`` when
+    the runtime reports one; if ``num_slices`` is given and exceeds what the
+    runtime reports (CPU meshes, single-slice testing), devices are split
+    into that many equal contiguous groups — contiguous ``jax.devices()``
+    are ICI-adjacent, so the simulated grouping has the same locality
+    structure as real slices.
+    """
+    devs = list(devices)
+    groups: dict = {}
+    for d in devs:
+        groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    granules = [groups[k] for k in sorted(groups)]
+    if num_slices is not None and num_slices > len(granules):
+        if num_slices % len(granules):
+            raise ValueError(
+                f"cannot split {len(granules)} slice(s) into {num_slices}")
+        split = []
+        for g in granules:
+            per = len(g) // (num_slices // len(granules))
+            if per == 0 or len(g) % per:
+                raise ValueError(
+                    f"slice of {len(g)} devices not divisible into "
+                    f"{num_slices // len(granules)} groups")
+            split.extend(g[i:i + per] for i in range(0, len(g), per))
+        granules = split
+    if len({len(g) for g in granules}) != 1:
+        raise ValueError("slices have unequal device counts")
+    return granules
+
+
 def make_multislice_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
-                         num_slices: Optional[int] = None) -> Mesh:
+                         num_slices: Optional[int] = None,
+                         devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Mesh spanning multiple TPU slices: the data axis is laid out across
     slices so its collectives (gradient all-reduce) ride DCN while
     fsdp/tensor stay inside a slice on ICI (SURVEY §2.3 plan: 'DCN data
     parallelism across slices').
 
-    Falls back to :func:`make_mesh` when the runtime reports one slice
-    (or slice info is unavailable, e.g. CPU meshes).
-    """
-    devs = jax.devices()
-    slice_ids = {getattr(d, "slice_index", 0) for d in devs}
-    n_slices = num_slices if num_slices is not None else len(slice_ids)
-    if n_slices <= 1:
-        return make_mesh(data, fsdp, tensor)
-    from jax.experimental import mesh_utils
+    The hybrid grid is built first-party (same layout as jax's
+    ``mesh_utils.create_hybrid_device_mesh``: slices stacked along the
+    outermost/data axis, ICI axes inside a slice) so the multi-slice path
+    is testable on CPU meshes via ``num_slices`` simulated grouping.
 
-    per_slice = len(devs) // n_slices
+    Falls back to :func:`make_mesh` when the runtime reports one slice
+    and no explicit ``num_slices`` is requested.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    granules = slice_groups(devs, num_slices)
+    n_slices = len(granules)
+    if n_slices <= 1:
+        return make_mesh(data, fsdp, tensor, devices=devs)
+
+    per_slice = len(granules[0])
     if fsdp * tensor > per_slice or per_slice % (fsdp * tensor):
-        raise ValueError(f"fsdp*tensor={fsdp*tensor} must divide the "
+        raise ValueError(f"fsdp*tensor={fsdp * tensor} must divide the "
                          f"per-slice device count {per_slice}")
     if data == -1:
         data = len(devs) // (fsdp * tensor)
     if data % n_slices:
         raise ValueError(f"data axis {data} must divide across {n_slices} slices")
-    grid = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(data // n_slices, fsdp, tensor),
-        dcn_mesh_shape=(n_slices, 1, 1),
-        devices=devs)
+    data_per_slice = data // n_slices
+    if data_per_slice * fsdp * tensor != per_slice:
+        raise ValueError(
+            f"mesh ({data},{fsdp},{tensor}) needs {data_per_slice * fsdp * tensor}"
+            f" devices per slice, slices have {per_slice}")
+    # Each slice contributes a (data/n_slices, fsdp, tensor) inner grid of
+    # ICI-adjacent devices; slices stack along the data axis so only data
+    # collectives cross DCN.
+    grid = np.stack([
+        np.asarray(g).reshape(data_per_slice, fsdp, tensor) for g in granules
+    ]).reshape(data, fsdp, tensor)
     return Mesh(grid, AXES.names)
 
 

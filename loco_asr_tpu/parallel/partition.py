@@ -15,6 +15,7 @@ Kernel layout reminder: our dense kernels are [in, out].
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Dict, List, Sequence, Tuple
 
@@ -26,6 +27,8 @@ from ..utils.pytree import flatten_with_paths, unflatten_from_paths
 from .mesh import AXES
 
 Rule = Tuple[str, P]
+
+logger = logging.getLogger(__name__)
 
 _F, _T = AXES.fsdp, AXES.tensor
 
@@ -75,9 +78,12 @@ def partition_specs(params: Dict, rules: Sequence[Rule] = TRANSFORMER_RULES) -> 
     return unflatten_from_paths({k: spec_for(k, rules) for k in flat})
 
 
-def _validate(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
+def _validate(spec: P, shape: Tuple[int, ...], mesh: Mesh,
+              path: str = "") -> P:
     """Drop sharding on axes the array can't honor (tiny dims); keeps the
-    rules usable for toy test configs."""
+    rules usable for toy test configs.  Every drop is logged — at real
+    scale a silently-replicated tensor means a mistyped rule or an odd
+    vocab, and the memory/step-time cost is large."""
     out = []
     for i, s in enumerate(spec):
         if s is None:
@@ -85,7 +91,15 @@ def _validate(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
             continue
         names = s if isinstance(s, tuple) else (s,)
         size = int(np.prod([mesh.shape[n] for n in names]))
-        out.append(s if i < len(shape) and shape[i] % size == 0 else None)
+        if i < len(shape) and shape[i] % size == 0:
+            out.append(s)
+        else:
+            logger.warning(
+                "partition rule dropped: %s dim %d (size %s) not divisible "
+                "by mesh axis %r (size %d) — tensor axis will be REPLICATED",
+                path or "<param>", i, shape[i] if i < len(shape) else "<absent>",
+                s, size)
+            out.append(None)
     out += [None] * (len(shape) - len(out))
     return P(*out[:len(shape)])
 
@@ -96,7 +110,7 @@ def shard_params(params: Dict, mesh: Mesh,
     flat = flatten_with_paths(params)
     out = {}
     for k, v in flat.items():
-        spec = _validate(spec_for(k, rules), np.shape(v), mesh)
+        spec = _validate(spec_for(k, rules), np.shape(v), mesh, path=k)
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return unflatten_from_paths(out)
 
@@ -106,6 +120,7 @@ def sharding_tree(params: Dict, mesh: Mesh,
     """NamedSharding tree (validated), for jit in/out_shardings."""
     flat = flatten_with_paths(params)
     return unflatten_from_paths({
-        k: NamedSharding(mesh, _validate(spec_for(k, rules), np.shape(v), mesh))
+        k: NamedSharding(mesh, _validate(spec_for(k, rules), np.shape(v), mesh,
+                                         path=k))
         for k, v in flat.items()
     })

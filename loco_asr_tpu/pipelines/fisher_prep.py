@@ -31,6 +31,12 @@ def parse_args(argv=None):
     p.add_argument("--expected_count", type=int, default=None,
                    help="integrity check: required number of transcript/sph "
                         "pairs (the full corpus has 11699)")
+    p.add_argument("--strict", action="store_true",
+                   help="reproduce the reference's integrity gate "
+                        "(fisher_data_prep.sh:89-98): fail unless transcript "
+                        "and sph counts match --expected_count (default "
+                        "11699) and every transcript has its sph and vice "
+                        "versa")
     return p.parse_args(argv)
 
 
@@ -57,13 +63,23 @@ def main(argv=None) -> int:
 
     t_ids = {os.path.basename(t).rsplit(".", 1)[0] for t in transcripts}
     s_ids = {os.path.basename(s).rsplit(".", 1)[0] for s in spheres}
+    expected = args.expected_count
+    if args.strict and expected is None:
+        expected = 11699  # the full Fisher corpus (fisher_data_prep.sh:90-97)
     if spheres and t_ids != s_ids:
         missing = sorted(t_ids ^ s_ids)[:5]
-        print(f"WARNING: transcript/audio mismatch ({len(t_ids ^ s_ids)} ids, "
+        level = "ERROR" if args.strict else "WARNING"
+        print(f"{level}: transcript/audio mismatch ({len(t_ids ^ s_ids)} ids, "
               f"e.g. {missing})", file=sys.stderr)
-    if args.expected_count is not None and len(transcripts) != args.expected_count:
-        print(f"ERROR: expected {args.expected_count} transcripts, found "
+        if args.strict:
+            return 1
+    if expected is not None and len(transcripts) != expected:
+        print(f"ERROR: expected {expected} transcripts, found "
               f"{len(transcripts)}", file=sys.stderr)
+        return 1
+    if args.strict and len(spheres) != expected:
+        print(f"ERROR: expected {expected} .sph files, found {len(spheres)}",
+              file=sys.stderr)
         return 1
 
     filetable_lines = []

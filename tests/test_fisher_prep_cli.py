@@ -101,3 +101,34 @@ def test_fisher_prep_cli_count_check(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rc = cli.main([corpus, "--out_dir", "data/x", "--expected_count", "11699"])
     assert rc == 1
+
+
+def test_fisher_prep_strict_defaults_to_full_corpus_count(tmp_path, monkeypatch):
+    """--strict reproduces fisher_data_prep.sh:89-98: 11699 pairs required."""
+    corpus, _ = _make_corpus(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([corpus, "--out_dir", "data/x", "--strict"])
+    assert rc == 1  # only 2 transcripts in the fixture
+
+
+def test_fisher_prep_strict_passes_with_matching_counts(tmp_path, monkeypatch):
+    corpus, _ = _make_corpus(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([corpus, "--out_dir", "data/x", "--strict",
+                   "--expected_count", "2"])
+    assert rc == 0
+
+
+def test_fisher_prep_strict_rejects_unpaired_transcript(tmp_path, monkeypatch):
+    """An sph file with no transcript (or vice versa) fails under --strict
+    (the reference's pairing is implied by its per-subdir counts)."""
+    corpus, _ = _make_corpus(tmp_path)
+    os.remove(os.path.join(corpus, "fe_03_p1_sph1/audio/000/fe_03_00002.sph"))
+    _write_sphere(os.path.join(corpus, "fe_03_p1_sph1/audio/000/fe_03_99999.sph"))
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([corpus, "--out_dir", "data/x", "--strict",
+                   "--expected_count", "2"])
+    assert rc == 1
+    # non-strict: same corpus only warns
+    rc = cli.main([corpus, "--out_dir", "data/x", "--expected_count", "2"])
+    assert rc == 0

@@ -85,6 +85,43 @@ def test_multislice_mesh_falls_back_single_slice():
     assert dict(m.shape) == {"data": 2, "fsdp": 2, "tensor": 2}
 
 
+def test_multislice_grid_layout():
+    """Simulated 2-slice grouping: slices stack along the data (DCN) axis,
+    each slice's ICI-adjacent devices stay inside one data-axis block."""
+    m = meshlib.make_multislice_mesh(data=4, fsdp=1, tensor=2, num_slices=2)
+    assert dict(m.shape) == {"data": 4, "fsdp": 1, "tensor": 2}
+    devs = jax.devices()
+    grid = m.devices
+    # slice 0 = devices 0..3 fills data rows 0-1; slice 1 = devices 4..7
+    assert [d.id for d in grid[:2].reshape(-1)] == [d.id for d in devs[:4]]
+    assert [d.id for d in grid[2:].reshape(-1)] == [d.id for d in devs[4:8]]
+
+
+def test_multislice_mesh_runs_data_collective():
+    """A gradient-style psum over the data axis executes on the hybrid grid."""
+    m = meshlib.make_multislice_mesh(data=4, fsdp=1, tensor=2, num_slices=2)
+    x = jnp.arange(8.0).reshape(8, 1)
+    xs = jax.device_put(x, meshlib.data_sharding(m))
+    total = jax.jit(lambda a: jnp.sum(a))(xs)
+    assert float(total) == float(np.sum(np.arange(8.0)))
+
+
+def test_multislice_rejects_indivisible():
+    with pytest.raises(ValueError):
+        meshlib.make_multislice_mesh(data=3, fsdp=1, tensor=1, num_slices=2)
+
+
+def test_validate_drop_logs_warning(caplog):
+    import logging
+    m = meshlib.make_mesh(data=2, fsdp=2, tensor=2)
+    # 5 is not divisible by tensor=2 -> rule dropped, warning logged
+    with caplog.at_level(logging.WARNING, logger="loco_asr_tpu.parallel.partition"):
+        spec = partition._validate(P("fsdp", "tensor"), (4, 5), m, path="toy.kernel")
+    assert spec == P("fsdp", None)
+    assert any("toy.kernel" in r.message and "REPLICATED" in r.message
+               for r in caplog.records)
+
+
 def test_init_sharded_places_params(mesh8):
     cfg = tiny_config(hidden_size=32, encoder_attention_heads=4,
                       encoder_ffn_dim=64)
