@@ -89,7 +89,8 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
            bias: jnp.ndarray, kv_cache: Optional[Dict],
            cache_index: Optional[jnp.ndarray],
            rng, deterministic: bool,
-           attn_impl: str = "dense") -> Tuple[jnp.ndarray, Optional[Dict]]:
+           attn_impl: str = "dense",
+           ring: Optional[tuple] = None) -> Tuple[jnp.ndarray, Optional[Dict]]:
     act = layers.ACTIVATIONS[cfg.activation]
     rngs = (None,) * 3 if rng is None else tuple(jax.random.split(rng, 3))
 
@@ -117,7 +118,16 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
                                              (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
-    if attn_impl == "flash" and kv_cache is None:
+    if attn_impl == "ring" and kv_cache is None:
+        # sequence-parallel exact attention: K/V rotate around the mesh
+        # ring, O(T/n) memory per chip (padding is inert under causality).
+        from ...parallel.ring_attention import ring_attention
+
+        mesh, axis_name = ring
+        attn = ring_attention(q, k, v, mesh=mesh, axis_name=axis_name,
+                              causal=True, scale=cfg.head_dim ** -0.5)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
+    elif attn_impl == "flash" and kv_cache is None:
         # O(T)-memory Pallas kernel; full-sequence causal scoring only
         # (padding is inert under causality, see pipelines/eval_ppl.py).
         from ...ops.pallas import flash_attention
@@ -154,12 +164,17 @@ def gpt2_forward(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     attn_impl: str = "dense",
+    ring: Optional[tuple] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Token ids [B, T] -> (hidden [B, T, D], updated kv caches).
 
     ``attn_impl='flash'`` routes full-sequence causal attention through the
     Pallas blockwise kernel (long-context scoring/training; ignored in
     incremental KV mode, where attention is already O(1) per step).
+    ``attn_impl='ring'`` runs sequence-parallel ring attention over
+    ``ring=(mesh, axis_name)`` — the window is sharded across devices and
+    K/V blocks rotate on the ICI ring, so one scoring pass can exceed a
+    single chip's memory (SURVEY §2.3; parallel/ring_attention.py).
 
     Incremental mode: pass ``kv_caches`` (fixed shape) and ``cache_index``
     (number of tokens already cached); positions and causal masking follow.
@@ -188,7 +203,10 @@ def gpt2_forward(
         x = layers.dropout(sub, x, cfg.embd_pdrop, deterministic)
 
     if kv_caches is None:
-        bias = attention.causal_attention_bias(t, t)
+        if attn_impl in ("flash", "ring") and attention_mask is None:
+            bias = None  # causality lives in the kernel; no O(T^2) tensor
+        else:
+            bias = attention.causal_attention_bias(t, t)
     else:
         k_len = kv_caches["0"]["k"].shape[2]
         kj = jnp.arange(k_len)
@@ -200,7 +218,7 @@ def gpt2_forward(
             qi = past + jnp.arange(t)[:, None]
             kj = kj[None, :]
             bias = jnp.where(kj <= qi, 0.0, attention.NEG_INF)[None, None]
-    if attention_mask is not None:
+    if attention_mask is not None and bias is not None:
         bias = bias + attention.padding_attention_bias(attention_mask)
 
     new_caches = {} if kv_caches is not None else None
@@ -210,7 +228,7 @@ def gpt2_forward(
         cache_i = kv_caches[str(i)] if kv_caches is not None else None
         x, upd = _block(params["h"][str(i)], cfg, x, bias, cache_i,
                         cache_index, rngs[i], deterministic,
-                        attn_impl=attn_impl)
+                        attn_impl=attn_impl, ring=ring)
         if new_caches is not None:
             new_caches[str(i)] = upd
 

@@ -50,7 +50,7 @@ def encoder_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> Dict:
 
 def _layer_body(cfg: SpeechT5Config, hidden, layer_params, *, attention_bias,
                 rel_pe, kv_valid_len, dropout_rng, deterministic,
-                attn_impl="dense"):
+                attn_impl="dense", ring=None):
     act = layers.ACTIVATIONS[cfg.hidden_act]
     rngs = (None, None, None, None) if dropout_rng is None else jax.random.split(dropout_rng, 4)
 
@@ -62,7 +62,7 @@ def _layer_body(cfg: SpeechT5Config, hidden, layer_params, *, attention_bias,
         kv_valid_len=kv_valid_len,
         dropout_rng=rngs[0], dropout_rate=cfg.attention_dropout,
         deterministic=deterministic,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, ring=ring,
     )
     attn_out = layers.dropout(rngs[1], attn_out, cfg.hidden_dropout, deterministic)
     hidden = hidden + attn_out
@@ -95,6 +95,7 @@ def encoder(
     dropout_rng: Optional[jax.Array] = None,
     remat: bool = False,
     attn_impl: str = "dense",
+    ring: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """[B, T, H] prenet features -> [B, T, H] encodings.
 
@@ -104,8 +105,11 @@ def encoder(
     scanned layer body, the standard TPU memory/FLOPs trade).
     ``attn_impl`` "dense" materializes [T, T] scores; "flash" routes every
     layer through the banded rel-pos Pallas kernel (O(T) memory —
-    conversation-length encoding).  Requires a right-padded (contiguous
-    prefix) attention_mask in flash mode.
+    conversation-length encoding); "ring" shards the sequence over
+    ``ring=(mesh, axis_name)`` and rotates K/V on the ICI ring (O(T/n)
+    memory per chip — conversation-length encoding across chips, with the
+    same rel-pos + padding semantics).  Requires a right-padded
+    (contiguous prefix) attention_mask in flash/ring modes.
     """
     hidden = layers.layer_norm(params["layer_norm"], hidden_states, eps=cfg.layer_norm_eps)
     if dropout_rng is not None:
@@ -117,9 +121,10 @@ def encoder(
     attn_bias = None
     kv_valid_len = None
     if attention_mask is not None:
-        attn_bias = attention.padding_attention_bias(attention_mask)
         kv_valid_len = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
-    elif attn_impl == "flash":
+        if attn_impl == "dense":
+            attn_bias = attention.padding_attention_bias(attention_mask)
+    elif attn_impl in ("flash", "ring"):
         kv_valid_len = jnp.full((hidden.shape[0],), hidden.shape[1], jnp.int32)
 
     stacked = stack_layers(params["layers"])
@@ -131,7 +136,8 @@ def encoder(
 
     body = partial(_layer_body, cfg, attention_bias=attn_bias,
                    rel_pe=rel_pe, kv_valid_len=kv_valid_len,
-                   deterministic=deterministic, attn_impl=attn_impl)
+                   deterministic=deterministic, attn_impl=attn_impl,
+                   ring=ring)
 
     def scan_fn(h, xs):
         lp, rng = xs if layer_rngs is not None else (xs, None)

@@ -66,6 +66,7 @@ def encode_speech(
     attention_mask: Optional[jnp.ndarray] = None, *,
     deterministic: bool = True, rng: Optional[jax.Array] = None,
     remat: bool = False, attn_impl: str = "dense",
+    ring: Optional[tuple] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Raw waveform [B, T] -> ([B, frames, H], frame mask).
 
@@ -80,7 +81,7 @@ def encode_speech(
         deterministic=deterministic, rng=r1)
     hidden = enc.encoder(params["encoder"]["wrapped_encoder"], cfg, hidden, mask,
                          deterministic=deterministic, dropout_rng=r2,
-                         remat=remat, attn_impl=attn_impl)
+                         remat=remat, attn_impl=attn_impl, ring=ring)
     return hidden, mask
 
 
@@ -88,13 +89,13 @@ def encode_text(
     params: Dict, cfg: SpeechT5Config, input_ids: jnp.ndarray,
     attention_mask: Optional[jnp.ndarray] = None, *,
     deterministic: bool = True, rng: Optional[jax.Array] = None,
-    attn_impl: str = "dense",
+    attn_impl: str = "dense", ring: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Token ids [B, L] -> [B, L, H] (reference extract_*:88 text branch)."""
     hidden = prenets.text_encoder_prenet(params["encoder"]["prenet"], cfg, input_ids)
     return enc.encoder(params["encoder"]["wrapped_encoder"], cfg, hidden,
                        attention_mask, deterministic=deterministic, dropout_rng=rng,
-                       attn_impl=attn_impl)
+                       attn_impl=attn_impl, ring=ring)
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +110,7 @@ def asr_forward(
     decoder_attention_mask: Optional[jnp.ndarray] = None,
     *, deterministic: bool = True, rng: Optional[jax.Array] = None,
     remat: bool = False, attn_impl: str = "dense",
+    ring: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Teacher-forced ASR forward -> vocab logits [B, L, V]."""
     r1 = r2 = r3 = None
@@ -117,7 +119,8 @@ def asr_forward(
     encoder_hidden, enc_mask = encode_speech(params, cfg, input_values,
                                              attention_mask,
                                              deterministic=deterministic, rng=r1,
-                                             remat=remat, attn_impl=attn_impl)
+                                             remat=remat, attn_impl=attn_impl,
+                                             ring=ring)
     dec_in = prenets.text_decoder_prenet(params["decoder"]["prenet"], cfg,
                                          decoder_input_ids)
     dec_in = layers.dropout(r2, dec_in, cfg.positional_dropout, deterministic)
@@ -154,6 +157,7 @@ def asr_loss(
     labels: jnp.ndarray, *, label_pad_id: int = -100,
     deterministic: bool = False, rng: Optional[jax.Array] = None,
     remat: bool = False, attn_impl: str = "dense",
+    ring: Optional[tuple] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Cross-entropy seq2seq loss with HF shift-right convention
     (decoder inputs = [start, labels[:-1]])."""
@@ -163,7 +167,7 @@ def asr_loss(
     logits = asr_forward(params, cfg, input_values, shifted,
                          attention_mask=attention_mask,
                          deterministic=deterministic, rng=rng, remat=remat,
-                         attn_impl=attn_impl)
+                         attn_impl=attn_impl, ring=ring)
     valid = (labels != label_pad_id)
     tgt = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

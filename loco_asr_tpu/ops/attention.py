@@ -60,6 +60,7 @@ def multi_head_attention(
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     attn_impl: str = "dense",
+    ring: Optional[tuple] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Scaled dot-product MHA.
 
@@ -77,8 +78,11 @@ def multi_head_attention(
         by the flash path in place of ``attention_bias``.
       kv_cache: {"k": [B,H,Tmax,hd], "v": ...} decode cache to update in place
         at ``cache_index`` (self-attention incremental decoding).
-      attn_impl: "dense" (materialized [Tq, Tk] scores) or "flash"
-        (ops.pallas blockwise kernel, O(T) memory — self-attention only).
+      attn_impl: "dense" (materialized [Tq, Tk] scores), "flash"
+        (ops.pallas blockwise kernel, O(T) memory — self-attention only),
+        or "ring" (sequence-parallel over ``ring=(mesh, axis_name)``:
+        K/V rotate around the device ring, O(T/n) memory per chip;
+        self-attention only, supports rel_pe + kv_valid_len).
 
     Returns (output [B, Tq, D], updated kv_cache or None).
     """
@@ -102,6 +106,21 @@ def multi_head_attention(
         k = jax.lax.dynamic_update_slice(kv_cache["k"], k, (0, 0, cache_index, 0))
         v = jax.lax.dynamic_update_slice(kv_cache["v"], v, (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
+
+    use_ring = (attn_impl == "ring" and kv_cache is None
+                and key_value_states is None
+                and (deterministic or dropout_rate == 0.0))
+    if use_ring:
+        from ..parallel.ring_attention import ring_attention
+
+        mesh, axis_name = ring
+        out = ring_attention(q, k, v, mesh=mesh, axis_name=axis_name,
+                             causal=False, scale=1.0,  # q is pre-scaled
+                             rel_pe=rel_pe, rel_max=rel_max,
+                             kv_valid_len=kv_valid_len)
+        out = _merge_heads(out)
+        out = layers.dense(params["out_proj"], out)
+        return out, new_cache
 
     use_flash = (attn_impl == "flash" and kv_cache is None
                  and key_value_states is None
@@ -141,6 +160,11 @@ def multi_head_attention(
 
     if attention_bias is not None:
         scores = scores + attention_bias.astype(scores.dtype)
+    elif kv_valid_len is not None:
+        # flash/ring callers pass lengths instead of a bias; keep padding
+        # correct when this dense path is the (e.g. dropout) fallback
+        pad = jnp.arange(k.shape[2])[None, :] < kv_valid_len[:, None]
+        scores = jnp.where(pad[:, None, None, :], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     probs = layers.dropout(dropout_rng, probs, dropout_rate, deterministic)

@@ -15,7 +15,6 @@ single-device long-context case instead.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -25,16 +24,28 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -1e30
 
 
-def _ring_attention_local(q, k, v, *, axis_name: str, causal: bool,
-                          scale: Optional[float]):
+def _ring_attention_local(q, k, v, kv_valid_len, rel_pe, *, axis_name: str,
+                          causal: bool, scale: Optional[float],
+                          rel_max: Optional[int]):
     """Per-shard body. q/k/v: [B, H, T_local, D] (this device's sequence
-    block); returns local attention output against the GLOBAL sequence."""
+    block); returns local attention output against the GLOBAL sequence.
+
+    kv_valid_len: [B] global valid key count (right padding), or None.
+    rel_pe: [2L, D] relative-position key table (SpeechT5 semantics:
+    bias[i,j] = scale * q[i] . pe[clip(i-j, -L, L-1) + L]), or None.
+    """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, h, t_local, d = q.shape
     scale = scale if scale is not None else d ** -0.5
 
     q_pos = idx * t_local + jnp.arange(t_local)          # global q positions
+    if rel_pe is not None:
+        L = rel_max if rel_max is not None else rel_pe.shape[0] // 2
+        # factorized rel term: qpe[b,h,i,m] = scale * q . pe[m]; per block
+        # pair the bias is a Toeplitz gather over m = clip(i-j,-L,L-1)+L
+        qpe = jnp.einsum("bhid,md->bhim", q, rel_pe.astype(q.dtype),
+                         preferred_element_type=jnp.float32) * scale
 
     def step(i, carry):
         acc, m, l, k_cur, v_cur = carry
@@ -43,9 +54,16 @@ def _ring_attention_local(q, k, v, *, axis_name: str, causal: bool,
 
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cur,
                        preferred_element_type=jnp.float32) * scale
+        if rel_pe is not None:
+            rel_idx = jnp.clip(q_pos[:, None] - k_pos[None, :], -L, L - 1) + L
+            s = s + jnp.take_along_axis(
+                qpe, jnp.broadcast_to(rel_idx, (b, h) + rel_idx.shape), axis=-1)
         if causal:
             mask = k_pos[None, :] <= q_pos[:, None]
             s = jnp.where(mask[None, None], s, NEG_INF)
+        if kv_valid_len is not None:
+            pad = k_pos[None, :] < kv_valid_len[:, None]   # [B, Tk]
+            s = jnp.where(pad[:, None, None, :], s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -73,11 +91,21 @@ def ring_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     mesh: Mesh, axis_name: str, causal: bool = True,
     scale: Optional[float] = None,
+    kv_valid_len: Optional[jnp.ndarray] = None,
+    rel_pe: Optional[jnp.ndarray] = None,
+    rel_max: Optional[int] = None,
 ) -> jnp.ndarray:
     """Exact attention over sequence-sharded [B, H, T, D] inputs.
 
     T must divide by the mesh axis size.  Inputs/outputs are globally
     shaped; shard_map splits the sequence axis over ``axis_name``.
+
+    Optional extensions (SpeechT5 encoder / padded batches):
+      kv_valid_len: [B] int32 valid key counts — keys at global positions
+        >= the count are masked (right-padded batches).
+      rel_pe: [2*rel_max, head_dim] relative-position key table; adds the
+        HF SpeechT5 rel term scale*q.pe[clip(i-j)] with GLOBAL distances
+        (bias spans shard boundaries correctly).
     """
     t = q.shape[2]
     n = mesh.shape[axis_name]
@@ -85,9 +113,23 @@ def ring_attention(
         raise ValueError(f"sequence length {t} not divisible by mesh axis {n}")
 
     spec = P(None, None, axis_name, None)
-    fn = jax.shard_map(
-        functools.partial(_ring_attention_local, axis_name=axis_name,
-                          causal=causal, scale=scale),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False)
-    return fn(q, k, v)
+    have_len, have_pe = kv_valid_len is not None, rel_pe is not None
+    args = [q, k, v]
+    in_specs = [spec, spec, spec]
+    if have_len:
+        args.append(kv_valid_len)
+        in_specs.append(P())  # replicated
+    if have_pe:
+        args.append(rel_pe)
+        in_specs.append(P())
+
+    def body(*xs):
+        kvl = xs[3] if have_len else None
+        pe = xs[3 + have_len] if have_pe else None
+        return _ring_attention_local(xs[0], xs[1], xs[2], kvl, pe,
+                                     axis_name=axis_name, causal=causal,
+                                     scale=scale, rel_max=rel_max)
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=spec, check_vma=False)
+    return fn(*args)

@@ -71,6 +71,11 @@ def parse_arguments(argv=None):
     p.add_argument("--limit_recordings", type=int, default=None)
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard window batches over this many devices")
+    p.add_argument("--sequence_parallel", type=int, default=1,
+                   help="shard each scoring window's SEQUENCE axis over "
+                        "this many devices via ring attention — one window "
+                        "can exceed a single chip's memory (SURVEY §2.3; "
+                        "parallel/ring_attention.py)")
     return p.parse_args(argv)
 
 
@@ -147,6 +152,34 @@ def main(argv=None) -> int:
 
     score = jax.jit(lambda p, ids: g.token_nll(
         g.gpt2_logits(p, cfg, ids)[0], ids))
+    if args.sequence_parallel > 1 and args.data_parallel > 1:
+        raise SystemExit("--sequence_parallel and --data_parallel are "
+                         "mutually exclusive (use a 2-D mesh via train_lm "
+                         "for combined DP+SP training)")
+    if args.sequence_parallel > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        n_sp = args.sequence_parallel
+        devs = jax.devices()
+        if len(devs) < n_sp:
+            raise SystemExit(f"--sequence_parallel {n_sp} needs {n_sp} "
+                             f"devices, have {len(devs)}")
+        sp_mesh = Mesh(np.asarray(devs[:n_sp]), ("sequence",))
+        seq_sh = NamedSharding(sp_mesh, P(None, "sequence"))
+        params = jax.device_put(params, NamedSharding(sp_mesh, P()))
+        sp_score = jax.jit(lambda p, ids: g.token_nll(
+            g.gpt2_logits(p, cfg, ids, attn_impl="ring",
+                          ring=(sp_mesh, "sequence"))[0], ids))
+
+        def score(p, ids):  # noqa: F811 — SP wrapper over the jit'd scorer
+            ids = np.asarray(ids)
+            b, t = ids.shape
+            pad = (-t) % n_sp
+            if pad:  # causal => trailing pad tokens are inert for real NLLs
+                ids = np.concatenate([ids, np.tile(ids[:, -1:], (1, pad))], 1)
+            out = sp_score(p, jax.device_put(jnp.asarray(ids), seq_sh))
+            return out[:, : t - 1]
+
     if args.data_parallel > 1:
         from ..parallel import mesh as meshlib, train as ptrain
 
