@@ -50,7 +50,7 @@ def encoder_init(rng, cfg: SpeechT5Config, dtype=jnp.float32) -> Dict:
 
 def _layer_body(cfg: SpeechT5Config, hidden, layer_params, *, attention_bias,
                 rel_pe, kv_valid_len, dropout_rng, deterministic,
-                attn_impl="dense", ring=None):
+                attn_impl="dense", ring=None, position_bias=None):
     act = layers.ACTIVATIONS[cfg.hidden_act]
     rngs = (None, None, None, None) if dropout_rng is None else jax.random.split(dropout_rng, 4)
 
@@ -59,6 +59,7 @@ def _layer_body(cfg: SpeechT5Config, hidden, layer_params, *, attention_bias,
         num_heads=cfg.encoder_attention_heads,
         attention_bias=attention_bias,
         rel_pe=rel_pe, rel_max=cfg.encoder_max_relative_position,
+        position_bias=position_bias,
         kv_valid_len=kv_valid_len,
         dropout_rng=rngs[0], dropout_rate=cfg.attention_dropout,
         deterministic=deterministic,
@@ -117,6 +118,14 @@ def encoder(
         hidden = layers.dropout(sub, hidden, cfg.hidden_dropout, deterministic)
 
     rel_pe = params["embed_positions"]["pe_k"]["weight"]
+    position_bias = None
+    if attn_impl == "dense":
+        # dense path: gather the shared [T, T, head_dim] Toeplitz keys ONCE
+        # outside the layer scan (all layers share the table; re-gathering
+        # per layer costs ~1 ms/step at T=249)
+        position_bias = attention.relative_position_bias_table(
+            rel_pe, hidden.shape[1], cfg.encoder_max_relative_position)
+        rel_pe = None
 
     attn_bias = None
     kv_valid_len = None
@@ -135,7 +144,8 @@ def encoder(
         layer_rngs = None
 
     body = partial(_layer_body, cfg, attention_bias=attn_bias,
-                   rel_pe=rel_pe, kv_valid_len=kv_valid_len,
+                   rel_pe=rel_pe, position_bias=position_bias,
+                   kv_valid_len=kv_valid_len,
                    deterministic=deterministic, attn_impl=attn_impl,
                    ring=ring)
 

@@ -58,6 +58,79 @@ def feature_encoder(params: Dict, cfg: SpeechT5Config, input_values: jnp.ndarray
     return x.transpose(0, 2, 1)
 
 
+def conv1_instance_norm_gelu_gram(
+        wav: jnp.ndarray, weight: jnp.ndarray, scale: jnp.ndarray,
+        bias: jnp.ndarray, *, stride: int = 5, eps: float = 1e-5,
+        time_major: bool = False) -> jnp.ndarray:
+    """First feature-encoder layer (conv k=2*stride, 1->C, instance-norm
+    over frames, erf-GELU) with gram-matrix statistics — ONE pass over the
+    big activation instead of XLA's three.
+
+    The conv output is linear in the K tap values, so per-channel stats
+    factor through tiny tap statistics (K = 10):
+        mean_c = tap_mean . W[:, c]             (linearity of the mean)
+        E[y^2]_c = W[:, c]^T G W[:, c],  G = E[taps taps^T]  ([K, K] gram)
+    The [B, C, F]-sized tensor is then produced once by a single tap
+    matmul with the normalize+GELU epilogue fused in by XLA — stats never
+    read it.  Same E[y^2]-mean^2 variance form as ops/pallas/conv_frontend
+    (parity ~1e-6).  ``time_major`` selects [B, F, C] output; default
+    [B, C, F] feeds the NCH conv layers above with no transpose pass (the
+    layout is the matmul's own output assignment).
+
+    A conv bias, if present, cancels exactly through the instance norm
+    (it shifts y and mean identically) and is therefore ignored.
+    """
+    b, t = wav.shape
+    k = weight.shape[2]
+    if k != 2 * stride:
+        raise ValueError(f"kernel {k} must equal 2*stride {stride}")
+    f = (t - k) // stride + 1
+    r = wav[:, : stride * (f + 1)].reshape(b, f + 1, stride)
+    taps = jnp.concatenate([r[:, :f], r[:, 1:f + 1]], axis=-1)   # [B, F, K]
+    w = weight[:, 0, :].T                                        # [K, C]
+
+    tap_mean = jnp.mean(taps, axis=1)                            # [B, K]
+    gram = jnp.einsum("bfi,bfj->bij", taps, taps,
+                      preferred_element_type=jnp.float32) / f    # [B, K, K]
+    mean = tap_mean @ w                                          # [B, C]
+    ysq = jnp.einsum("ic,bij,jc->bc", w, gram, w,
+                     preferred_element_type=jnp.float32)         # E[y^2]
+    var = ysq - mean * mean
+    inv = jax.lax.rsqrt(var + eps)                               # [B, C]
+    gain = (inv * scale[None, :]).astype(jnp.float32)            # fold norm
+    off = (bias[None, :] - mean * gain)                          # into affine
+
+    if time_major:
+        y = jnp.einsum("bfk,kc->bfc", taps, w,
+                       preferred_element_type=jnp.float32)
+        y = y * gain[:, None, :] + off[:, None, :]
+    else:
+        y = jnp.einsum("bfk,kc->bcf", taps, w,
+                       preferred_element_type=jnp.float32)
+        y = y * gain[:, :, None] + off[:, :, None]
+    return layers.gelu(y)
+
+
+def feature_encoder_fused(params: Dict, cfg: SpeechT5Config,
+                          input_values: jnp.ndarray) -> jnp.ndarray:
+    """:func:`feature_encoder` with the first layer's conv+instance-norm+
+    GELU replaced by the one-pass gram-statistics form (same numbers,
+    ~1e-6; used by default on TPU where the stats re-reads of the
+    [B, C, T/5] activation dominate the prenet)."""
+    c0 = params["conv_layers"]["0"]
+    x = conv1_instance_norm_gelu_gram(
+        input_values, c0["conv"]["weight"], c0["layer_norm"]["scale"],
+        c0["layer_norm"]["bias"], stride=cfg.conv_stride[0])
+    for i in range(1, len(cfg.conv_dim)):
+        p = params["conv_layers"][str(i)]
+        x = layers.conv1d(p["conv"], x, stride=cfg.conv_stride[i])
+        if cfg.feat_extract_norm == "layer":
+            x = layers.layer_norm(p["layer_norm"], x.transpose(0, 2, 1),
+                                  eps=cfg.layer_norm_eps).transpose(0, 2, 1)
+        x = layers.gelu(x)
+    return x.transpose(0, 2, 1)
+
+
 # ---------------------------------------------------------------------------
 # Speech encoder prenet
 # ---------------------------------------------------------------------------
@@ -115,7 +188,12 @@ def speech_prenet(
     sinusoidal_table: Optional[np.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """[B, T] waveform -> ([B, frames, H] hidden, [B, frames] frame mask)."""
-    feats = feature_encoder(params["feature_encoder"], cfg, input_values)
+    if (cfg.feat_extract_norm == "group"
+            and cfg.conv_kernel[0] == 2 * cfg.conv_stride[0]):
+        feats = feature_encoder_fused(params["feature_encoder"], cfg,
+                                      input_values)
+    else:
+        feats = feature_encoder(params["feature_encoder"], cfg, input_values)
 
     if attention_mask is not None:
         attention_mask = reduce_attention_mask(cfg, feats.shape[1], attention_mask)

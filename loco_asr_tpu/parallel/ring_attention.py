@@ -42,10 +42,7 @@ def _ring_attention_local(q, k, v, kv_valid_len, rel_pe, *, axis_name: str,
     q_pos = idx * t_local + jnp.arange(t_local)          # global q positions
     if rel_pe is not None:
         L = rel_max if rel_max is not None else rel_pe.shape[0] // 2
-        # factorized rel term: qpe[b,h,i,m] = scale * q . pe[m]; per block
-        # pair the bias is a Toeplitz gather over m = clip(i-j,-L,L-1)+L
-        qpe = jnp.einsum("bhid,md->bhim", q, rel_pe.astype(q.dtype),
-                         preferred_element_type=jnp.float32) * scale
+        qs = (q * scale).astype(q.dtype)  # rel term is scaled like content
 
     def step(i, carry):
         acc, m, l, k_cur, v_cur = carry
@@ -55,9 +52,13 @@ def _ring_attention_local(q, k, v, kv_valid_len, rel_pe, *, axis_name: str,
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cur,
                        preferred_element_type=jnp.float32) * scale
         if rel_pe is not None:
+            # gather the small [2L, D] table into per-block Toeplitz keys,
+            # then MXU einsum (per-element take_along_axis gathers are
+            # ~100x slower on TPU)
             rel_idx = jnp.clip(q_pos[:, None] - k_pos[None, :], -L, L - 1) + L
-            s = s + jnp.take_along_axis(
-                qpe, jnp.broadcast_to(rel_idx, (b, h) + rel_idx.shape), axis=-1)
+            pos_keys = jnp.take(rel_pe.astype(q.dtype), rel_idx, axis=0)
+            s = s + jnp.einsum("bhid,ijd->bhij", qs, pos_keys,
+                               preferred_element_type=jnp.float32)
         if causal:
             mask = k_pos[None, :] <= q_pos[:, None]
             s = jnp.where(mask[None, None], s, NEG_INF)
