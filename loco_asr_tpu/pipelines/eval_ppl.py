@@ -15,9 +15,10 @@ Numerics contract:
 
 TPU redesign of the hot loops: indep mode scores padded length-buckets
 with masked NLL (identical numbers, ~1 compile per bucket); max_len mode
-materializes each recording's window matrix and scores fixed-shape
-[bsize, max_len] batches, keeping the device busy instead of the
-reference's ragged python-list batches.
+streams ALL recordings' windows through one global fixed-shape
+[bsize, max_len] batcher (short recordings right-padded — inert under the
+causal mask), so the whole pass compiles a single shape and pads only the
+final flush, instead of the reference's ragged python-list batches.
 
 Artifacts: rec_id2nlls.pkl + rec_id2ppl.json + timestamped log
 (ref :158-162), same aggregate log line (utils.py:230-232).
@@ -213,33 +214,51 @@ def main(argv=None) -> int:
         recs = list(dataset.rec_id2tokens.items())
         if args.limit_recordings:
             recs = recs[: args.limit_recordings]
+        # One global fixed-shape [bsize, max_len] window stream ACROSS
+        # recordings: every work item is one row (short recordings
+        # right-padded — under the causal mask the kept prefix's NLLs are
+        # unaffected by pad tokens to its right), so the whole pass
+        # compiles ONE shape and pads only the final flush instead of
+        # every recording's batch remainder.  Same windows, same numbers
+        # as the reference loop (eval_ppl_with_pretrained_lm.py:98-144).
+        bsize = args.bsize
+        buf = np.zeros((bsize, max_len), np.int32)
+        pending: List[tuple] = []   # ("full", L) keeps row[:L-1]; ("last", _) keeps row[-1]
+
+        def flush():
+            if not pending:
+                return
+            n = len(pending)
+            if n < bsize:
+                buf[n:] = buf[n - 1]     # repeat-pad the final partial flush
+            out = np.asarray(score(params, jnp.asarray(buf)))
+            for (kind, L), row in zip(pending, out):
+                nlls.append(row[: L - 1].tolist() if kind == "full"
+                            else [float(row[-1])])
+            pending.clear()
+
+        def enqueue(row: np.ndarray, kind: str, L: int, rec_id: str):
+            buf[len(pending), : len(row)] = row
+            buf[len(pending), len(row):] = row[-1]   # inert right-pad
+            pending.append((kind, L))
+            ids_order.append(rec_id)
+            if len(pending) == bsize:
+                flush()
+
         for r, (rec_id, tokens) in enumerate(recs):
             print(f"\r recording {r+1}/{len(recs)} ({len(tokens)} tokens)",
                   end=" ", file=sys.stderr)
             T = len(tokens)
             if T < max_len:
-                row = np.asarray(score(
-                    params, jnp.asarray(np.asarray(tokens, np.int32)[None])))
-                nlls.append(row[0].tolist())
-                ids_order.append(rec_id)
+                enqueue(np.asarray(tokens, np.int32), "full", T, rec_id)
                 continue
             windows = dataset.recording_windows(tokens)
             if len(windows) == 0:
                 continue  # reference quirk: T == max_len yields nothing
-            first_nll = np.asarray(score(
-                params, jnp.asarray(windows[0][None])))[0]
-            nlls.append(first_nll.tolist())
-            ids_order.append(rec_id)
-            rest = windows[1:]
-            for i in range(0, len(rest), args.bsize):
-                chunk = rest[i:i + args.bsize]
-                n = len(chunk)
-                if n < args.bsize:  # pad to the compiled batch shape
-                    pad = np.repeat(chunk[-1:], args.bsize - n, axis=0)
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                out = np.asarray(score(params, jnp.asarray(chunk)))[:n, -1]
-                nlls.extend([[float(v)] for v in out])
-                ids_order.extend([rec_id] * n)
+            enqueue(windows[0], "full", max_len, rec_id)
+            for w in windows[1:]:
+                enqueue(w, "last", max_len, rec_id)
+        flush()
         print(file=sys.stderr)
     elif args.context_type == "streaming":
         dataset = lm_datasets.MaxLenTextDataset(args.in_file, tokenizer,

@@ -1,0 +1,193 @@
+"""Pipeline-level benchmarks (VERDICT #6): the numbers the framework
+exists for, not just the encoder kernel.
+
+Measures, on the available accelerator, with chained-loop differencing
+(the only honest method on this relay-attached TPU — see
+utils/profiling.device_time_per_iter):
+
+  1. eval_ppl GPT-2 scoring throughput at [bsize, 1024] windows, and the
+     derived useful-tokens/s of the three context modes (indep scores
+     every token of a window; max_len keeps ONE NLL per window after the
+     first; streaming keeps max_len/2 per window).
+  2. train_asr full-size SpeechT5 train step (fwd+bwd+AdamW) time and
+     MFU against the v5e bf16 peak.
+  3. long-audio decode RTFx: 60 s utterance -> encoder + greedy decode
+     of 200 tokens, audio-seconds per wall-second.
+
+Each section prints one line; --json writes all rows to a file.
+Run sections selectively with --only {ppl,train,decode} (TPU jobs on this
+box should be short; see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# v5e: 197 TFLOP/s bf16 (394 TOPS int8); default matmul precision runs
+# bf16 passes, so this is the honest MFU denominator.
+PEAK_FLOPS = 197e12
+
+WWW = {}
+
+
+def bench_ppl(bsize: int, max_len: int, model: str):
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.utils.profiling import device_time_per_iter
+
+    cfg = g.PRESETS[model]
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                   (bsize, max_len)).astype(np.int32))
+
+    def score(p, ids):
+        nll = g.token_nll(g.gpt2_logits(p, cfg, ids)[0], ids)
+        return jnp.mean(nll)  # consume every element (no DCE of the batch)
+
+    per = device_time_per_iter(score, params, ids, iters=10)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    flops = 2 * n_params * bsize * max_len  # fwd ~= 2*P per token
+    rows = {
+        "ppl_window_step_ms": per * 1e3,
+        "ppl_indep_tokens_per_s": bsize * (max_len - 1) / per,
+        "ppl_max_len_useful_tokens_per_s": bsize / per,
+        "ppl_streaming_useful_tokens_per_s": bsize * (max_len // 2) / per,
+        "ppl_fwd_mfu_pct": 100 * flops / per / PEAK_FLOPS,
+    }
+    print(f"eval_ppl [{model}, {bsize}x{max_len}]: {per*1e3:.2f} ms/window-batch"
+          f" -> indep {rows['ppl_indep_tokens_per_s']:,.0f} tok/s,"
+          f" max_len {rows['ppl_max_len_useful_tokens_per_s']:,.0f} useful tok/s,"
+          f" streaming {rows['ppl_streaming_useful_tokens_per_s']:,.0f} tok/s"
+          f" ({rows['ppl_fwd_mfu_pct']:.0f}% MFU)")
+    WWW.update(rows)
+
+
+def bench_train(batch: int, seconds: float, label_len: int):
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.models.speecht5.config import SpeechT5Config
+    from loco_asr_tpu.parallel import mesh as meshlib, partition, train
+    from loco_asr_tpu.pipelines import common
+    from loco_asr_tpu.utils.profiling import device_time_per_iter
+
+    cfg = SpeechT5Config()
+    mesh = meshlib.make_mesh(-1, 1, 1)
+    params = common.load_speecht5_params(None, "asr", cfg, jax.random.PRNGKey(0))
+    params = partition.shard_params(params, mesh)
+    tx = train.adamw(1e-4, 0.01, 10, 1000)
+    opt_state = tx.init(params)
+    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    t = int(seconds * 16000)
+    batch_d = train.shard_batch({
+        "input_values": jnp.asarray(
+            rng.standard_normal((batch, t)).astype(np.float32) * 0.1),
+        "attention_mask": jnp.ones((batch, t), jnp.int32),
+        "labels": jnp.asarray(rng.integers(
+            1, cfg.vocab_size, (batch, label_len)).astype(np.int32)),
+    }, mesh)
+
+    def step(p, opt, b, r):
+        new_p, new_opt, m = step_fn(p, opt, b, r)
+        # consume params + loss so nothing is dead code
+        lens = jax.tree_util.tree_leaves(new_p)
+        return m["loss"] + sum(jnp.mean(x) for x in lens[:4])
+
+    key = jax.random.PRNGKey(0)
+    per = device_time_per_iter(step, params, opt_state, batch_d, key, iters=8)
+
+    # analytic FLOPs: 3x forward (fwd + 2x bwd).  Forward: conv stack
+    # ~400 GFLOP at 80 audio-s (measured round 1, scales linearly) +
+    # 12-layer encoder + 6-layer decoder matmuls.
+    frames = int(seconds * 50)
+    h = cfg.hidden_size
+    enc = 12 * (12 * h * h + 4 * h * h) * frames * 2  # qkvo + ffn per frame
+    dec = 6 * (16 * h * h + 4 * h * h) * label_len * 2
+    conv = 400e9 * (batch * seconds) / 80.0
+    fwd = batch * (enc + dec) + conv
+    mfu = 100 * 3 * fwd / per / PEAK_FLOPS
+    rows = {
+        "train_asr_step_ms": per * 1e3,
+        "train_asr_steps_per_s": 1.0 / per,
+        "train_asr_audio_s_per_s": batch * seconds / per,
+        "train_asr_mfu_pct": mfu,
+    }
+    print(f"train_asr [B{batch}x{seconds:.0f}s, labels {label_len}]: "
+          f"{per*1e3:.1f} ms/step ({1.0/per:.1f} steps/s, "
+          f"{batch*seconds/per:,.0f} audio-s/s, ~{mfu:.0f}% MFU)")
+    WWW.update(rows)
+
+
+def bench_decode(seconds: float, decode_len: int):
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.decode.beam import greedy_decode
+    from loco_asr_tpu.models.speecht5 import model as st5
+    from loco_asr_tpu.models.speecht5.config import SpeechT5Config
+    from loco_asr_tpu.pipelines import common
+    from loco_asr_tpu.utils.profiling import device_time_per_iter
+
+    cfg = SpeechT5Config()
+    params = common.load_speecht5_params(None, "asr", cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    t = int(seconds * 16000)
+    wav = jnp.asarray(rng.standard_normal((1, t)).astype(np.float32) * 0.1)
+    mask = jnp.ones((1, t), jnp.int32)
+
+    def e2e(p, wav, mask):
+        enc, m = st5.encode_speech(p, cfg, wav, mask)
+        toks, lens = greedy_decode(p, cfg, enc, m, max_len=decode_len)
+        return jnp.mean(toks.astype(jnp.float32)) + jnp.mean(enc)
+
+    per = device_time_per_iter(e2e, params, wav, mask, iters=5)
+    rows = {"decode_long_audio_s": seconds,
+            "decode_e2e_ms": per * 1e3,
+            "decode_rtfx": seconds / per}
+    print(f"long-audio decode [{seconds:.0f}s -> {decode_len} tokens]: "
+          f"{per*1e3:.1f} ms e2e (RTFx {seconds/per:,.0f})")
+    WWW.update(rows)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--only", choices=["ppl", "train", "decode"], default=None)
+    p.add_argument("--json", default=None, help="write rows to this file")
+    p.add_argument("--ppl_bsize", type=int, default=8)
+    p.add_argument("--ppl_max_len", type=int, default=1024)
+    p.add_argument("--ppl_model", default="gpt2")
+    p.add_argument("--train_batch", type=int, default=8)
+    p.add_argument("--train_seconds", type=float, default=5.0)
+    p.add_argument("--train_label_len", type=int, default=128)
+    p.add_argument("--decode_seconds", type=float, default=60.0)
+    p.add_argument("--decode_len", type=int, default=200)
+    args = p.parse_args(argv)
+
+    import jax
+    print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
+          file=sys.stderr)
+    if args.only in (None, "ppl"):
+        bench_ppl(args.ppl_bsize, args.ppl_max_len, args.ppl_model)
+    if args.only in (None, "train"):
+        bench_train(args.train_batch, args.train_seconds, args.train_label_len)
+    if args.only in (None, "decode"):
+        bench_decode(args.decode_seconds, args.decode_len)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(WWW, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
