@@ -245,6 +245,51 @@ def gpt2_logits(params: Dict, cfg: GPT2Config, input_ids: jnp.ndarray,
     return logits, caches
 
 
+def token_nll_from_hidden(wte_weight: jnp.ndarray, hidden: jnp.ndarray,
+                          targets: jnp.ndarray, *, chunk: int = 256
+                          ) -> jnp.ndarray:
+    """Per-token NLL straight from final hidden states — identical numbers
+    to ``token_nll(logits, targets)`` (nll = logsumexp(h.W) - h.w_tgt)
+    WITHOUT materializing the [B, T, V] logits tensor.
+
+    At GPT-2 scale that tensor is 1.6 GB f32 per [8, 1024] batch and
+    XLA's multi-pass log_softmax over it is pure HBM traffic; scanning
+    the time axis in ``chunk``-sized slices keeps the transient at
+    [B, chunk, V] with the logsumexp+gather fused per slice.
+    """
+    b, t, h = hidden.shape
+    hid, tgt = hidden[:, :-1], targets[:, 1:]
+    n = t - 1
+    chunk = max(1, min(chunk, n))   # short windows: one chunk, no waste
+    pad = (-n) % chunk
+    if pad:
+        hid = jnp.pad(hid, ((0, 0), (0, pad), (0, 0)))
+        tgt = jnp.pad(tgt, ((0, 0), (0, pad)))
+    nch = (n + pad) // chunk
+    hid = hid.reshape(b, nch, chunk, h).transpose(1, 0, 2, 3)
+    tgt = tgt.reshape(b, nch, chunk).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        hc, tc = xs
+        logits = jnp.einsum("bch,vh->bcv", hc, wte_weight,
+                            preferred_element_type=jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, tc[..., None], axis=-1)[..., 0]
+        return carry, lse - tl
+
+    _, out = jax.lax.scan(body, 0, (hid, tgt))
+    return out.transpose(1, 0, 2).reshape(b, nch * chunk)[:, :n]
+
+
+def score_tokens(params: Dict, cfg: GPT2Config, input_ids: jnp.ndarray,
+                 *, chunk: int = 256, **kw) -> jnp.ndarray:
+    """Forward + per-token NLL [B, T-1] via the chunked lm head (the
+    eval_ppl hot path; same numbers as token_nll(gpt2_logits(...)))."""
+    hidden, _ = gpt2_forward(params, cfg, input_ids, **kw)
+    return token_nll_from_hidden(params["wte"]["weight"], hidden, input_ids,
+                                 chunk=chunk)
+
+
 def token_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Per-token NLL of ``targets`` under shifted ``logits``.
 

@@ -120,13 +120,19 @@ def decoder(
             self_bias = self_bias + attention.padding_attention_bias(attention_mask)
     else:
         k_len = kv_caches["0"]["k"].shape[2]
-        pos = jnp.arange(k_len)[None, :]
-        # valid keys: written positions (< cache_index + t) and causal wrt step
-        qi = cache_index + jnp.arange(t)[:, None]
-        self_bias = jnp.where(pos[None, :, :] <= qi[:, None, :], 0.0,
-                              attention.NEG_INF)[None].astype(jnp.float32)
-        # shape [1, 1, t, k_len]
-        self_bias = self_bias.reshape(1, 1, t, k_len)
+        pos = jnp.arange(k_len)
+        if jnp.ndim(cache_index) == 1:
+            # per-stream decode offsets (continuous batching)
+            qi = cache_index[:, None, None] + jnp.arange(t)[None, :, None]
+            self_bias = jnp.where(pos[None, None, :] <= qi, 0.0,
+                                  attention.NEG_INF)[:, None]  # [B,1,t,K]
+            self_bias = self_bias.astype(jnp.float32)
+        else:
+            # valid keys: written positions (< cache_index + t), causal wrt step
+            qi = cache_index + jnp.arange(t)[:, None]
+            self_bias = jnp.where(pos[None, None, :] <= qi[None, :, :], 0.0,
+                                  attention.NEG_INF).astype(jnp.float32)
+            self_bias = self_bias.reshape(1, 1, t, k_len)
 
     cross_bias = None
     if encoder_attention_mask is not None:

@@ -288,6 +288,8 @@ def text_decoder_prenet(params: Dict, cfg: SpeechT5Config, input_ids: jnp.ndarra
     t = table if table is not None else _sinusoidal_text_table(
         cfg, min_positions=input_ids.shape[1])
     valid = (input_ids != cfg.pad_token_id)
+    if jnp.ndim(past_length) == 1:      # per-stream offsets ([B])
+        past_length = past_length[:, None]
     pos_ids = layers.positions_from_padding(valid, cfg.pad_token_id, past_length)
     # past_length can be dynamic (KV decoding); clamp instead of the NaN
     # fill jnp.take would produce out of range

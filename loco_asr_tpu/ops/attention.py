@@ -103,8 +103,20 @@ def multi_head_attention(
     if kv_cache is not None:
         if cache_index is None:
             raise ValueError("cache_index required with kv_cache")
-        k = jax.lax.dynamic_update_slice(kv_cache["k"], k, (0, 0, cache_index, 0))
-        v = jax.lax.dynamic_update_slice(kv_cache["v"], v, (0, 0, cache_index, 0))
+        if jnp.ndim(cache_index) == 1:
+            # per-stream write offsets (continuous batching: each slot is at
+            # its own decode step).  One-hot select along the cache length —
+            # a full cache read/write, but KV per step is tiny and TPU
+            # scatter would be no cheaper.  Requires Tq == 1.
+            sel = (jnp.arange(kv_cache["k"].shape[2])[None, :]
+                   == cache_index[:, None])[:, None, :, None]
+            k = jnp.where(sel, k, kv_cache["k"])
+            v = jnp.where(sel, v, kv_cache["v"])
+        else:
+            k = jax.lax.dynamic_update_slice(kv_cache["k"], k,
+                                             (0, 0, cache_index, 0))
+            v = jax.lax.dynamic_update_slice(kv_cache["v"], v,
+                                             (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
     use_ring = (attn_impl == "ring" and kv_cache is None

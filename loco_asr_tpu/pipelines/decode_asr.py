@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument("--lm_weight", type=float, default=0.3)
     p.add_argument("--tiny", action="store_true", help="tiny ASR config (smoke)")
     p.add_argument("--limit_batches", type=int, default=None)
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching: per-slot admission refills a "
+                        "decode slot the moment its stream hits EOS "
+                        "(decode/batcher.py; greedy, no fusion)")
     return p.parse_args(argv)
 
 
@@ -102,25 +106,59 @@ def main(argv=None) -> int:
     hyps: List[str] = []
     hyp_lines: List[str] = []
     audio_seconds = 0.0
-    for bi, batch in enumerate(ds.batches(tokenizer, args.batch_size,
-                                          max_seconds=args.max_seconds,
-                                          eos_id=cfg.eos_token_id)):
-        if args.limit_batches is not None and bi >= args.limit_batches:
-            break
-        audio_seconds += float(batch["attention_mask"].sum()) / 16000.0
-        enc, mask = enc_fn(params, jnp.asarray(batch["input_values"]),
-                           jnp.asarray(batch["attention_mask"]))
-        toks, lens = decode_jit(params, enc, mask,
-                                fusion.params if fusion else None)
-        toks = np.asarray(toks)
-        for utt_id, text, row, L in zip(batch["utt_ids"], batch["texts"],
-                                        toks, np.asarray(lens)):
-            ids = [int(t) for t in row[:L] if int(t) != cfg.eos_token_id]
-            hyp = tokenizer.decode(ids) if hasattr(tokenizer, "decode") and ids else ""
-            refs.append(text)
+
+    if args.continuous:
+        from ..decode.batcher import decode_continuous
+
+        if args.beam_size != 1 or fusion is not None:
+            raise SystemExit("--continuous supports greedy decode without "
+                             "LM fusion (use static batching otherwise)")
+        utts, text_by_id = [], {}
+        for bi, batch in enumerate(ds.batches(
+                tokenizer, args.batch_size, max_seconds=args.max_seconds,
+                eos_id=cfg.eos_token_id)):
+            if args.limit_batches is not None and bi >= args.limit_batches:
+                break
+            for utt_id, text, wav, m in zip(
+                    batch["utt_ids"], batch["texts"],
+                    batch["input_values"], batch["attention_mask"]):
+                n = int(np.asarray(m).sum())
+                utts.append((utt_id, np.asarray(wav)[:n]))
+                text_by_id[utt_id] = text
+        audio_seconds = sum(len(w) for _, w in utts) / 16000.0
+        results = decode_continuous(
+            params, cfg, utts, slots=args.batch_size,
+            max_len=args.max_decode_len,
+            audio_samples=int(args.max_seconds * 16000), encode_fn=enc_fn)
+        for utt_id, _ in utts:
+            toks, L = results[utt_id]
+            ids = [int(t) for t in toks[:L] if int(t) != cfg.eos_token_id]
+            hyp = (tokenizer.decode(ids)
+                   if hasattr(tokenizer, "decode") and ids else "")
+            refs.append(text_by_id[utt_id])
             hyps.append(hyp)
             hyp_lines.append(f"{utt_id} {hyp}")
-        print(f"\r decoded {len(refs)} utts", end=" ", file=sys.stderr)
+    else:
+        for bi, batch in enumerate(ds.batches(tokenizer, args.batch_size,
+                                              max_seconds=args.max_seconds,
+                                              eos_id=cfg.eos_token_id)):
+            if args.limit_batches is not None and bi >= args.limit_batches:
+                break
+            audio_seconds += float(batch["attention_mask"].sum()) / 16000.0
+            enc, mask = enc_fn(params, jnp.asarray(batch["input_values"]),
+                               jnp.asarray(batch["attention_mask"]))
+            toks, lens = decode_jit(params, enc, mask,
+                                    fusion.params if fusion else None)
+            toks = np.asarray(toks)
+            for utt_id, text, row, L in zip(batch["utt_ids"], batch["texts"],
+                                            toks, np.asarray(lens)):
+                ids = [int(t) for t in row[:L] if int(t) != cfg.eos_token_id]
+                hyp = (tokenizer.decode(ids)
+                       if hasattr(tokenizer, "decode") and ids else "")
+                refs.append(text)
+                hyps.append(hyp)
+                hyp_lines.append(f"{utt_id} {hyp}")
+            print(f"\r decoded {len(refs)} utts", end=" ", file=sys.stderr)
     print(file=sys.stderr)
 
     details = wer_details(refs, hyps)

@@ -151,8 +151,9 @@ def main(argv=None) -> int:
                        f"{cfg.n_positions}; clamping")
         max_len = cfg.n_positions
 
-    score = jax.jit(lambda p, ids: g.token_nll(
-        g.gpt2_logits(p, cfg, ids)[0], ids))
+    # score_tokens = chunked lm head: never materializes the [B, T, V]
+    # logits (1.6 GB at gpt2/[128,1024]); same numbers as the dense path
+    score = jax.jit(lambda p, ids: g.score_tokens(p, cfg, ids))
     if args.sequence_parallel > 1 and args.data_parallel > 1:
         raise SystemExit("--sequence_parallel and --data_parallel are "
                          "mutually exclusive (use a 2-D mesh via train_lm "

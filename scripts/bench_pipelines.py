@@ -51,7 +51,7 @@ def bench_ppl(bsize: int, max_len: int, model: str):
                                    (bsize, max_len)).astype(np.int32))
 
     def score(p, ids):
-        nll = g.token_nll(g.gpt2_logits(p, cfg, ids)[0], ids)
+        nll = g.score_tokens(p, cfg, ids)  # chunked lm head (eval_ppl path)
         return jnp.mean(nll)  # consume every element (no DCE of the batch)
 
     per = device_time_per_iter(score, params, ids, iters=10)
@@ -161,9 +161,87 @@ def bench_decode(seconds: float, decode_len: int):
     WWW.update(rows)
 
 
+def bench_continuous(n_utts: int, slots: int, max_len: int):
+    """Static greedy batching vs continuous batching on the SAME utterance
+    set.  Random weights give geometric decode lengths (P(eos)~1/V per
+    step), so streams retire at different times — the straggler effect the
+    batcher exists to remove.  Wall-clock includes host admission (the
+    honest serving metric); outputs are np.asarray-synced."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.decode.batcher import decode_continuous
+    from loco_asr_tpu.decode.beam import greedy_decode
+    from loco_asr_tpu.models.speecht5 import model as st5
+    from loco_asr_tpu.models.speecht5.config import SpeechT5Config
+    from loco_asr_tpu.pipelines import common
+
+    cfg = SpeechT5Config()
+    params = common.load_speecht5_params(None, "asr", cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    bucket = 5 * 16000
+    utts = [(f"u{i}", (rng.standard_normal(
+        rng.integers(2 * 16000, bucket + 1)) * 0.1).astype(np.float32))
+        for i in range(n_utts)]
+    audio_s = sum(len(w) for _, w in utts) / 16000.0
+
+    enc_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+    dec_fn = jax.jit(lambda p, e, m: greedy_decode(p, cfg, e, m,
+                                                   max_len=max_len))
+
+    def run_static():
+        outs = []
+        for i in range(0, n_utts, slots):
+            chunk = utts[i:i + slots]
+            w = np.zeros((slots, bucket), np.float32)
+            m = np.zeros((slots, bucket), np.int32)
+            for j, (_, wav) in enumerate(chunk):
+                w[j, : len(wav)] = wav
+                m[j, : len(wav)] = 1
+            enc, msk = enc_fn(params, jnp.asarray(w), jnp.asarray(m))
+            toks, lens = dec_fn(params, enc, msk)
+            outs.append((np.asarray(toks), np.asarray(lens)))
+        return outs
+
+    t0 = time.perf_counter()
+    run_static()                               # warm compile
+    print(f"  [static compile+warm {time.perf_counter()-t0:.1f}s]",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    static_out = run_static()
+    t_static = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    decode_continuous(params, cfg, utts[:slots], slots=slots,
+                      max_len=max_len, audio_samples=bucket,
+                      encode_fn=enc_fn)        # warm compile
+    print(f"  [continuous compile+warm {time.perf_counter()-t0:.1f}s]",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    decode_continuous(params, cfg, utts, slots=slots,
+                      max_len=max_len, audio_samples=bucket,
+                      encode_fn=enc_fn)
+    t_cont = time.perf_counter() - t0
+
+    lens = np.concatenate([l for _, l in static_out])[:n_utts]
+    rows = {
+        "cont_static_wall_s": t_static, "cont_batcher_wall_s": t_cont,
+        "cont_speedup": t_static / t_cont,
+        "cont_rtfx": audio_s / t_cont,
+        "cont_mean_decode_len": float(lens.mean()),
+    }
+    print(f"decode {n_utts} utts (slots {slots}, max_len {max_len}, mean "
+          f"len {lens.mean():.0f}): static {t_static:.2f}s, continuous "
+          f"{t_cont:.2f}s ({t_static/t_cont:.2f}x, RTFx {audio_s/t_cont:,.0f})")
+    WWW.update(rows)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--only", choices=["ppl", "train", "decode"], default=None)
+    p.add_argument("--only", choices=["ppl", "train", "decode", "cont"],
+                   default=None)
     p.add_argument("--json", default=None, help="write rows to this file")
     p.add_argument("--ppl_bsize", type=int, default=8)
     p.add_argument("--ppl_max_len", type=int, default=1024)
@@ -184,6 +262,8 @@ def main(argv=None):
         bench_train(args.train_batch, args.train_seconds, args.train_label_len)
     if args.only in (None, "decode"):
         bench_decode(args.decode_seconds, args.decode_len)
+    if args.only == "cont":
+        bench_continuous(32, 8, 200)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(WWW, f, indent=2)

@@ -127,3 +127,20 @@ def test_train_asr_pipeline_smoke(kaldi_dir, tmp_path, monkeypatch):
         "--mesh", "2,1,2", "--max_seconds", "0.5", "--decode_max_len", "8",
         "--eval_batches", "1", "--warmup_steps", "1", "--resume"])
     assert rc == 0
+
+
+def test_decode_asr_continuous_matches_static(kaldi_dir, tmp_path, monkeypatch):
+    """--continuous (slot-level admission) must emit the same hypotheses
+    as static greedy batching for every utterance."""
+    from loco_asr_tpu.pipelines import decode_asr
+
+    monkeypatch.chdir(tmp_path)
+    common = ["--data_dir", kaldi_dir, "--tiny", "--beam_size", "1",
+              "--max_decode_len", "8", "--batch_size", "2",
+              "--max_seconds", "1.5"]
+    assert decode_asr.main(common + ["--out_dir", "exp/static"]) == 0
+    assert decode_asr.main(common + ["--out_dir", "exp/cont",
+                                     "--continuous"]) == 0
+    static = sorted(open("exp/static/hyp.text").read().splitlines())
+    cont = sorted(open("exp/cont/hyp.text").read().splitlines())
+    assert cont == static

@@ -1,0 +1,89 @@
+"""Continuous-batching decode (decode/batcher.py): slot-level admission
+with per-stream cache offsets must reproduce per-utterance greedy decode
+exactly, while running fewer total device steps than static batching."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from loco_asr_tpu.decode import batcher
+from loco_asr_tpu.decode.beam import greedy_decode
+from loco_asr_tpu.models.speecht5 import model as st5
+from loco_asr_tpu.models.speecht5.config import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    # varied lengths so slots retire at different times
+    utts = [(f"utt{i}", rng.standard_normal(n).astype(np.float32) * 0.1)
+            for i, n in enumerate([3200, 2400, 3200, 1600, 2800, 3200])]
+    return cfg, params, utts
+
+
+def reference_tokens(cfg, params, wav, audio_samples, max_len):
+    w = np.zeros((1, audio_samples), np.float32)
+    w[0, : len(wav)] = wav
+    m = np.zeros((1, audio_samples), np.int32)
+    m[0, : len(wav)] = 1
+    enc, mask = st5.encode_speech(params, cfg, jnp.asarray(w), jnp.asarray(m))
+    toks, lens = greedy_decode(params, cfg, enc, mask, max_len=max_len)
+    return np.asarray(toks)[0], int(np.asarray(lens)[0])
+
+
+def test_matches_per_utterance_greedy(setup):
+    cfg, params, utts = setup
+    max_len, bucket = 12, 3200
+    results = batcher.decode_continuous(
+        params, cfg, utts, slots=2, chunk_steps=4, max_len=max_len,
+        audio_samples=bucket)
+    assert set(results) == {u for u, _ in utts}
+    for uid, wav in utts:
+        ref_toks, ref_len = reference_tokens(cfg, params, wav, bucket, max_len)
+        toks, length = results[uid]
+        assert length == ref_len, uid
+        np.testing.assert_array_equal(toks, ref_toks, err_msg=uid)
+
+
+def test_more_utterances_than_slots_all_complete(setup):
+    cfg, params, utts = setup
+    results = batcher.decode_continuous(
+        params, cfg, utts, slots=3, chunk_steps=3, max_len=8,
+        audio_samples=3200)
+    assert len(results) == len(utts)
+    for toks, length in results.values():
+        assert toks.shape == (8,)
+        assert 0 < length <= 8
+
+
+def test_per_stream_cache_index_matches_scalar():
+    """The vector cache_index path (the batcher's substrate) must equal the
+    scalar path when all offsets agree."""
+    from loco_asr_tpu.models.speecht5 import decoder as dec
+
+    cfg = tiny_config()
+    params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    enc = jnp.asarray(rng.standard_normal((2, 5, cfg.hidden_size))
+                      .astype(np.float32))
+    mask = jnp.ones((2, 5), jnp.int32)
+    tok = jnp.asarray([[7], [9]], jnp.int32)
+
+    c1 = dec.init_decode_cache(cfg, 2, 6)
+    c2 = dec.init_decode_cache(cfg, 2, 6)
+    for t in range(3):
+        l1, c1 = st5.asr_decode_step(params, cfg, tok, jnp.int32(t),
+                                     enc, mask, c1)
+        l2, c2 = st5.asr_decode_step(params, cfg, tok,
+                                     jnp.full((2,), t, jnp.int32),
+                                     enc, mask, c2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(c1),
+                    jax.tree_util.tree_leaves(c2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)

@@ -80,3 +80,16 @@ def test_flash_attention_impl_matches_dense(pair):
 def test_presets_shapes():
     assert g.PRESETS["gpt2"].n_layer == 12
     assert g.PRESETS["gpt2-xl"].n_embd == 1600
+
+
+def test_score_tokens_matches_dense_lm_head(pair):
+    """score_tokens (chunked lm head, no [B,T,V] materialization) must
+    equal token_nll over dense logits — including when T-1 is not a
+    multiple of the chunk and when chunk > T."""
+    _, params, cfg = pair
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (3, 29)).astype(np.int32))
+    dense = np.asarray(g.token_nll(g.gpt2_logits(params, cfg, ids)[0], ids))
+    for chunk in (1, 4, 7, 28, 256):
+        got = np.asarray(g.score_tokens(params, cfg, ids, chunk=chunk))
+        np.testing.assert_allclose(got, dense, atol=1e-5, rtol=1e-5)
