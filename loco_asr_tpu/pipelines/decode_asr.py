@@ -39,6 +39,10 @@ def parse_args(argv=None):
                    help="continuous batching: per-slot admission refills a "
                         "decode slot the moment its stream hits EOS "
                         "(decode/batcher.py; greedy, no fusion)")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard the decode batch over this many devices "
+                        "(params replicated; encoder + the whole beam/"
+                        "greedy loop run sharded — SURVEY §2.3 DP)")
     return p.parse_args(argv)
 
 
@@ -88,6 +92,23 @@ def main(argv=None) -> int:
     watch = Stopwatch()
 
     enc_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+
+    shard_batch = lambda w, m: (w, m)
+    if args.data_parallel > 1:
+        from ..parallel import mesh as meshlib, train as ptrain
+
+        dp_mesh = meshlib.make_mesh(data=args.data_parallel)
+        batch_sh = meshlib.data_sharding(dp_mesh)
+        params = jax.device_put(params, meshlib.replicated(dp_mesh))
+        if fusion is not None:
+            fusion = FusionLM(jax.device_put(fusion.params,
+                                             meshlib.replicated(dp_mesh)),
+                              fusion.cfg, weight=args.lm_weight)
+
+        def shard_batch(w, m):  # noqa: F811 — pad rows + place on the mesh
+            b = ptrain.pad_batch({"w": w, "m": m}, args.data_parallel)
+            return (jax.device_put(b["w"], batch_sh),
+                    jax.device_put(b["m"], batch_sh))
 
     def decode_fn(p, enc, mask, lm_params):
         lm = None if fusion is None else FusionLM(lm_params, fusion.cfg,
@@ -145,10 +166,12 @@ def main(argv=None) -> int:
             if args.limit_batches is not None and bi >= args.limit_batches:
                 break
             audio_seconds += float(batch["attention_mask"].sum()) / 16000.0
-            enc, mask = enc_fn(params, jnp.asarray(batch["input_values"]),
-                               jnp.asarray(batch["attention_mask"]))
+            wav, msk = shard_batch(jnp.asarray(batch["input_values"]),
+                                   jnp.asarray(batch["attention_mask"]))
+            enc, mask = enc_fn(params, wav, msk)
             toks, lens = decode_jit(params, enc, mask,
                                     fusion.params if fusion else None)
+            # DP pad rows (if any) fall off: zip stops at len(utt_ids)
             toks = np.asarray(toks)
             for utt_id, text, row, L in zip(batch["utt_ids"], batch["texts"],
                                             toks, np.asarray(lens)):

@@ -144,3 +144,22 @@ def test_decode_asr_continuous_matches_static(kaldi_dir, tmp_path, monkeypatch):
     static = sorted(open("exp/static/hyp.text").read().splitlines())
     cont = sorted(open("exp/cont/hyp.text").read().splitlines())
     assert cont == static
+
+
+def test_decode_asr_data_parallel_matches_single(kaldi_dir, tmp_path,
+                                                 monkeypatch):
+    """--data_parallel 2: sharded encoder + greedy loop must emit the same
+    hypotheses as the single-device run (params replicated, batch rows
+    sharded; DP pad rows fall off at the zip)."""
+    from loco_asr_tpu.pipelines import decode_asr
+
+    monkeypatch.chdir(tmp_path)
+    common = ["--data_dir", kaldi_dir, "--tiny", "--beam_size", "1",
+              "--max_decode_len", "6", "--batch_size", "3",
+              "--max_seconds", "1.0"]
+    assert decode_asr.main(common + ["--out_dir", "exp/single"]) == 0
+    assert decode_asr.main(common + ["--out_dir", "exp/dp",
+                                     "--data_parallel", "2"]) == 0
+    single = sorted(open("exp/single/hyp.text").read().splitlines())
+    dp = sorted(open("exp/dp/hyp.text").read().splitlines())
+    assert dp == single
