@@ -118,14 +118,19 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
                                              (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
-    if attn_impl == "ring" and kv_cache is None:
-        # sequence-parallel exact attention: K/V rotate around the mesh
-        # ring, O(T/n) memory per chip (padding is inert under causality).
-        from ...parallel.ring_attention import ring_attention
+    if attn_impl in ("ring", "ulysses") and kv_cache is None:
+        # sequence-parallel exact attention, O(T/n) activations per chip
+        # (padding is inert under causality).  ring: K/V rotate around the
+        # mesh ring; ulysses: head-scatter all-to-alls, full sequence per
+        # head slice (parallel/ulysses.py).
+        if attn_impl == "ring":
+            from ...parallel.ring_attention import ring_attention as sp_attn
+        else:
+            from ...parallel.ulysses import ulysses_attention as sp_attn
 
         mesh, axis_name = ring
-        attn = ring_attention(q, k, v, mesh=mesh, axis_name=axis_name,
-                              causal=True, scale=cfg.head_dim ** -0.5)
+        attn = sp_attn(q, k, v, mesh=mesh, axis_name=axis_name,
+                       causal=True, scale=cfg.head_dim ** -0.5)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
     elif attn_impl == "flash" and kv_cache is None:
         # O(T)-memory Pallas kernel; full-sequence causal scoring only
@@ -175,6 +180,9 @@ def gpt2_forward(
     ``ring=(mesh, axis_name)`` — the window is sharded across devices and
     K/V blocks rotate on the ICI ring, so one scoring pass can exceed a
     single chip's memory (SURVEY §2.3; parallel/ring_attention.py).
+    ``attn_impl='ulysses'`` is the head-scatter alternative (all-to-all to
+    head-sharded full sequences; parallel/ulysses.py) — same contract,
+    needs n_head % mesh-axis == 0.
 
     Incremental mode: pass ``kv_caches`` (fixed shape) and ``cache_index``
     (number of tokens already cached); positions and causal masking follow.
@@ -203,7 +211,7 @@ def gpt2_forward(
         x = layers.dropout(sub, x, cfg.embd_pdrop, deterministic)
 
     if kv_caches is None:
-        if attn_impl in ("flash", "ring") and attention_mask is None:
+        if attn_impl in ("flash", "ring", "ulysses") and attention_mask is None:
             bias = None  # causality lives in the kernel; no O(T^2) tensor
         else:
             bias = attention.causal_attention_bias(t, t)

@@ -109,8 +109,10 @@ def encoder(
     conversation-length encoding); "ring" shards the sequence over
     ``ring=(mesh, axis_name)`` and rotates K/V on the ICI ring (O(T/n)
     memory per chip — conversation-length encoding across chips, with the
-    same rel-pos + padding semantics).  Requires a right-padded
-    (contiguous prefix) attention_mask in flash/ring modes.
+    same rel-pos + padding semantics); "ulysses" is the head-scatter
+    all-to-all alternative (parallel/ulysses.py, needs heads %% devices
+    == 0).  Requires a right-padded (contiguous prefix) attention_mask in
+    flash/ring/ulysses modes.
     """
     hidden = layers.layer_norm(params["layer_norm"], hidden_states, eps=cfg.layer_norm_eps)
     if dropout_rng is not None:
@@ -133,7 +135,7 @@ def encoder(
         kv_valid_len = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
         if attn_impl == "dense":
             attn_bias = attention.padding_attention_bias(attention_mask)
-    elif attn_impl in ("flash", "ring"):
+    elif attn_impl in ("flash", "ring", "ulysses"):
         kv_valid_len = jnp.full((hidden.shape[0],), hidden.shape[1], jnp.int32)
 
     stacked = stack_layers(params["layers"])

@@ -119,17 +119,20 @@ def multi_head_attention(
                                              (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
-    use_ring = (attn_impl == "ring" and kv_cache is None
-                and key_value_states is None
-                and (deterministic or dropout_rate == 0.0))
-    if use_ring:
-        from ..parallel.ring_attention import ring_attention
+    use_sp = (attn_impl in ("ring", "ulysses") and kv_cache is None
+              and key_value_states is None
+              and (deterministic or dropout_rate == 0.0))
+    if use_sp:
+        if attn_impl == "ring":
+            from ..parallel.ring_attention import ring_attention as sp_attn
+        else:
+            from ..parallel.ulysses import ulysses_attention as sp_attn
 
         mesh, axis_name = ring
-        out = ring_attention(q, k, v, mesh=mesh, axis_name=axis_name,
-                             causal=False, scale=1.0,  # q is pre-scaled
-                             rel_pe=rel_pe, rel_max=rel_max,
-                             kv_valid_len=kv_valid_len)
+        out = sp_attn(q, k, v, mesh=mesh, axis_name=axis_name,
+                      causal=False, scale=1.0,  # q is pre-scaled
+                      rel_pe=rel_pe, rel_max=rel_max,
+                      kv_valid_len=kv_valid_len)
         out = _merge_heads(out)
         out = layers.dense(params["out_proj"], out)
         return out, new_cache

@@ -77,6 +77,10 @@ def parse_arguments(argv=None):
                         "this many devices via ring attention — one window "
                         "can exceed a single chip's memory (SURVEY §2.3; "
                         "parallel/ring_attention.py)")
+    p.add_argument("--sp_impl", choices=["ring", "ulysses"], default="ring",
+                   help="sequence-parallel scheme: 'ring' rotates K/V on "
+                        "the ICI ring; 'ulysses' head-scatters via "
+                        "all-to-all (needs n_head %% devices == 0)")
     return p.parse_args(argv)
 
 
@@ -170,7 +174,7 @@ def main(argv=None) -> int:
         seq_sh = NamedSharding(sp_mesh, P(None, "sequence"))
         params = jax.device_put(params, NamedSharding(sp_mesh, P()))
         sp_score = jax.jit(lambda p, ids: g.token_nll(
-            g.gpt2_logits(p, cfg, ids, attn_impl="ring",
+            g.gpt2_logits(p, cfg, ids, attn_impl=args.sp_impl,
                           ring=(sp_mesh, "sequence"))[0], ids))
 
         def score(p, ids):  # noqa: F811 — SP wrapper over the jit'd scorer
