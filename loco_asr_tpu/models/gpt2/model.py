@@ -90,7 +90,9 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
            cache_index: Optional[jnp.ndarray],
            rng, deterministic: bool,
            attn_impl: str = "dense",
-           ring: Optional[tuple] = None) -> Tuple[jnp.ndarray, Optional[Dict]]:
+           ring: Optional[tuple] = None,
+           kv_valid_len: Optional[jnp.ndarray] = None,
+           ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     act = layers.ACTIVATIONS[cfg.activation]
     rngs = (None,) * 3 if rng is None else tuple(jax.random.split(rng, 3))
 
@@ -123,14 +125,13 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
         # (padding is inert under causality).  ring: K/V rotate around the
         # mesh ring; ulysses: head-scatter all-to-alls, full sequence per
         # head slice (parallel/ulysses.py).
-        if attn_impl == "ring":
-            from ...parallel.ring_attention import ring_attention as sp_attn
-        else:
-            from ...parallel.ulysses import ulysses_attention as sp_attn
+        from ...parallel.sp import resolve_sp_impl
 
+        sp_attn = resolve_sp_impl(attn_impl)
         mesh, axis_name = ring
         attn = sp_attn(q, k, v, mesh=mesh, axis_name=axis_name,
-                       causal=True, scale=cfg.head_dim ** -0.5)
+                       causal=True, scale=cfg.head_dim ** -0.5,
+                       kv_valid_len=kv_valid_len)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
     elif attn_impl == "flash" and kv_cache is None:
         # O(T)-memory Pallas kernel; full-sequence causal scoring only
@@ -138,7 +139,8 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
         from ...ops.pallas import flash_attention
 
         attn = flash_attention(q, k, v, causal=True,
-                               scale=cfg.head_dim ** -0.5)
+                               scale=cfg.head_dim ** -0.5,
+                               kv_valid_len=kv_valid_len)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
     else:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -210,9 +212,17 @@ def gpt2_forward(
         dropout_rng, sub = jax.random.split(dropout_rng)
         x = layers.dropout(sub, x, cfg.embd_pdrop, deterministic)
 
+    kv_valid_len = None
     if kv_caches is None:
-        if attn_impl in ("flash", "ring", "ulysses") and attention_mask is None:
-            bias = None  # causality lives in the kernel; no O(T^2) tensor
+        if attn_impl in ("flash", "ring", "ulysses"):
+            # causality lives in the kernel; no O(T^2) bias tensor.  A
+            # padding mask rides as per-row valid-key counts (the kernels'
+            # kv_valid_len), which assumes RIGHT padding — the only form
+            # the data layer produces.
+            bias = None
+            if attention_mask is not None:
+                kv_valid_len = jnp.sum(attention_mask.astype(jnp.int32),
+                                       axis=-1)
         else:
             bias = attention.causal_attention_bias(t, t)
     else:
@@ -236,7 +246,8 @@ def gpt2_forward(
         cache_i = kv_caches[str(i)] if kv_caches is not None else None
         x, upd = _block(params["h"][str(i)], cfg, x, bias, cache_i,
                         cache_index, rngs[i], deterministic,
-                        attn_impl=attn_impl, ring=ring)
+                        attn_impl=attn_impl, ring=ring,
+                        kv_valid_len=kv_valid_len)
         if new_caches is not None:
             new_caches[str(i)] = upd
 

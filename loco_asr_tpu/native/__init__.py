@@ -82,12 +82,20 @@ def read_sphere(path: str, channel: Optional[int] = None) -> Tuple[np.ndarray, i
                             ctypes.byref(channels), ctypes.byref(n))
     if rc < 0:
         raise ValueError(f"{path}: sphere decode failed ({rc})")
-    out = np.empty(n.value, np.float32)
-    got = lib.la_sphere_read(path.encode(), -1 if channel is None else channel,
-                             out, n.value)
-    if got < 0:
-        raise ValueError(f"{path}: sphere read failed ({got})")
-    return out[:got], rate.value
+    # rc == 1: n is an ESTIMATE (shorten payload without a sample_count
+    # header — exact counting would decode the stream twice); grow the
+    # buffer on -3 (cap exceeded) until the single decode fits.
+    cap = max(int(n.value), 4096)
+    ch = -1 if channel is None else channel
+    while True:
+        out = np.empty(cap, np.float32)
+        got = lib.la_sphere_read(path.encode(), ch, out, cap)
+        if got == -3 and rc == 1:
+            cap *= 4
+            continue
+        if got < 0:
+            raise ValueError(f"{path}: sphere read failed ({got})")
+        return out[:got], rate.value
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:

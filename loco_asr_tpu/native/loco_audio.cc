@@ -355,15 +355,17 @@ int la_sphere_info(const char* path, int32_t* sample_rate, int32_t* channels,
       fclose(f);
       return 0;
     }
-    // no sample_count in the header: count by decoding
-    std::vector<uint8_t> raw(h.data_bytes);
-    size_t got = fread(raw.data(), 1, h.data_bytes, f);
+    // No sample_count in the header: exact counting would decode the
+    // whole stream here AND again in la_sphere_read (2x work on the fast
+    // ingest lane).  Return a generous ESTIMATE and rc=1; the caller
+    // sizes a buffer from it and grows on -3 (see native/__init__.py).
+    // 8 samples per compressed byte per channel covers any realistic
+    // speech compression ratio; zero-run pathologies are handled by the
+    // caller's retry.
     fclose(f);
-    std::vector<std::vector<int32_t>> chans;
-    int ftype;
-    if (shorten::Decode(raw.data(), got, -1, &ftype, &chans) < 0) return -2;
-    *samples_per_channel = chans.empty() ? 0 : (int64_t)chans[0].size();
-    return 0;
+    int ch = h.channels > 0 ? h.channels : 1;
+    *samples_per_channel = (int64_t)(h.data_bytes * 8) / ch + 4096;
+    return 1;
   }
   fclose(f);
   *samples_per_channel = h.data_bytes / (h.sample_n_bytes * h.channels);

@@ -123,11 +123,9 @@ def multi_head_attention(
               and key_value_states is None
               and (deterministic or dropout_rate == 0.0))
     if use_sp:
-        if attn_impl == "ring":
-            from ..parallel.ring_attention import ring_attention as sp_attn
-        else:
-            from ..parallel.ulysses import ulysses_attention as sp_attn
+        from ..parallel.sp import resolve_sp_impl
 
+        sp_attn = resolve_sp_impl(attn_impl)
         mesh, axis_name = ring
         out = sp_attn(q, k, v, mesh=mesh, axis_name=axis_name,
                       causal=False, scale=1.0,  # q is pre-scaled

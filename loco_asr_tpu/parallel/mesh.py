@@ -84,15 +84,19 @@ def slice_groups(devices: Sequence[jax.Device],
         if num_slices % len(granules):
             raise ValueError(
                 f"cannot split {len(granules)} slice(s) into {num_slices}")
+        k = num_slices // len(granules)        # groups per real slice
         split = []
         for g in granules:
-            per = len(g) // (num_slices // len(granules))
-            if per == 0 or len(g) % per:
+            if k == 0 or len(g) % k:
+                # must divide by the GROUP COUNT, not the group size —
+                # 8 devices into 3 groups would otherwise silently yield 4
                 raise ValueError(
                     f"slice of {len(g)} devices not divisible into "
-                    f"{num_slices // len(granules)} groups")
+                    f"{k} groups")
+            per = len(g) // k
             split.extend(g[i:i + per] for i in range(0, len(g), per))
         granules = split
+        assert len(granules) == num_slices, (len(granules), num_slices)
     if len({len(g) for g in granules}) != 1:
         raise ValueError("slices have unequal device counts")
     return granules

@@ -19,7 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 NEG_INF = -1e30
 
@@ -108,29 +108,11 @@ def ring_attention(
         HF SpeechT5 rel term scale*q.pe[clip(i-j)] with GLOBAL distances
         (bias spans shard boundaries correctly).
     """
-    t = q.shape[2]
-    n = mesh.shape[axis_name]
-    if t % n:
-        raise ValueError(f"sequence length {t} not divisible by mesh axis {n}")
+    from .sp import sp_shard_map
 
-    spec = P(None, None, axis_name, None)
-    have_len, have_pe = kv_valid_len is not None, rel_pe is not None
-    args = [q, k, v]
-    in_specs = [spec, spec, spec]
-    if have_len:
-        args.append(kv_valid_len)
-        in_specs.append(P())  # replicated
-    if have_pe:
-        args.append(rel_pe)
-        in_specs.append(P())
+    def local(q, k, v, kvl, pe):
+        return _ring_attention_local(q, k, v, kvl, pe, axis_name=axis_name,
+                                     causal=causal, scale=scale,
+                                     rel_max=rel_max)
 
-    def body(*xs):
-        kvl = xs[3] if have_len else None
-        pe = xs[3 + have_len] if have_pe else None
-        return _ring_attention_local(xs[0], xs[1], xs[2], kvl, pe,
-                                     axis_name=axis_name, causal=causal,
-                                     scale=scale, rel_max=rel_max)
-
-    fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                       out_specs=spec, check_vma=False)
-    return fn(*args)
+    return sp_shard_map(local, mesh, axis_name, q, k, v, kv_valid_len, rel_pe)

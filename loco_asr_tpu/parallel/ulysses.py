@@ -19,7 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 NEG_INF = -1e30
 
@@ -64,38 +64,23 @@ def ulysses_attention(
     head-scatter all-to-alls.  H and T must divide by the mesh axis size.
     Same contract as :func:`..ring_attention.ring_attention` (global
     shapes in/out; rel-pos distances are global)."""
-    _, h, t, _ = q.shape
+    from .sp import sp_shard_map
+
+    h = q.shape[1]
     n = mesh.shape[axis_name]
-    if t % n:
-        raise ValueError(f"sequence length {t} not divisible by mesh axis {n}")
     if h % n:
         raise ValueError(f"num heads {h} not divisible by mesh axis {n} "
                          "(Ulysses scatters heads; use ring attention)")
 
-    spec = P(None, None, axis_name, None)
-    have_len, have_pe = kv_valid_len is not None, rel_pe is not None
-    args = [q, k, v]
-    in_specs = [spec, spec, spec]
-    if have_len:
-        args.append(kv_valid_len)
-        in_specs.append(P())
-    if have_pe:
-        args.append(rel_pe)
-        in_specs.append(P())
-
-    def body(*xs):
-        kvl = xs[3] if have_len else None
-        pe = xs[3 + have_len] if have_pe else None
+    def local(q, k, v, kvl, pe):
         # [B, H, T/n, D] -> [B, H/n, T, D]: scatter heads, gather sequence
         a2a = lambda x: jax.lax.all_to_all(x, axis_name, split_axis=1,
-                                           concat_axis=2, tiled=True)
-        out = _local_full_attention(
-            a2a(xs[0]), a2a(xs[1]), a2a(xs[2]), kvl, pe,
-            causal=causal, scale=scale, rel_max=rel_max)
+                                          concat_axis=2, tiled=True)
+        out = _local_full_attention(a2a(q), a2a(k), a2a(v), kvl, pe,
+                                    causal=causal, scale=scale,
+                                    rel_max=rel_max)
         # [B, H/n, T, D] -> [B, H, T/n, D]
         return jax.lax.all_to_all(out, axis_name, split_axis=2,
                                   concat_axis=1, tiled=True)
 
-    fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                       out_specs=spec, check_vma=False)
-    return fn(*args)
+    return sp_shard_map(local, mesh, axis_name, q, k, v, kv_valid_len, rel_pe)

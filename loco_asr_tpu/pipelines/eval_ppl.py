@@ -166,6 +166,16 @@ def main(argv=None) -> int:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         n_sp = args.sequence_parallel
+        if max_len % n_sp:
+            # the SP wrapper right-pads every window to a multiple of n_sp;
+            # padding past n_positions is an error, so shrink the window to
+            # the largest divisible size instead (numerics caveat logged)
+            new_len = (max_len // n_sp) * n_sp
+            logger.warning(
+                f"--max_len {max_len} not divisible by --sequence_parallel "
+                f"{n_sp}; using {new_len} (reference used the full "
+                f"n_positions window — PPLs differ slightly)")
+            max_len = new_len
         devs = jax.devices()
         if len(devs) < n_sp:
             raise SystemExit(f"--sequence_parallel {n_sp} needs {n_sp} "
@@ -181,6 +191,12 @@ def main(argv=None) -> int:
             ids = np.asarray(ids)
             b, t = ids.shape
             pad = (-t) % n_sp
+            if t + pad > cfg.n_positions:
+                raise SystemExit(
+                    f"sequence of {t} tokens pads to {t + pad} under "
+                    f"--sequence_parallel {n_sp}, past n_positions "
+                    f"{cfg.n_positions}; use a max_len divisible by "
+                    f"{n_sp} or fewer devices")
             if pad:  # causal => trailing pad tokens are inert for real NLLs
                 ids = np.concatenate([ids, np.tile(ids[:, -1:], (1, pad))], 1)
             out = sp_score(p, jax.device_put(jnp.asarray(ids), seq_sh))

@@ -111,7 +111,7 @@ def check_speecht5_hf(hf_dir, audio_paths, seconds: float = 5.0):
             "status": "pass" if mae < EMBED_MAE_BUDGET else "fail"}
 
 
-def check_speecht5_base(fairseq_ckpt, hf_dir=None):
+def check_speecht5_base(fairseq_ckpt, hf_dir=None, seconds: float = 5.0):
     import torch
 
     import jax
@@ -119,20 +119,53 @@ def check_speecht5_base(fairseq_ckpt, hf_dir=None):
     from loco_asr_tpu.models.speecht5 import model as st5
     from loco_asr_tpu.models.speecht5.config import SpeechT5Config
     from loco_asr_tpu.models.speecht5 import import_torch as it
+    from loco_asr_tpu.utils.pytree import flatten_with_paths
 
     state = torch.load(fairseq_ckpt, map_location="cpu", weights_only=False)
     cfg = SpeechT5Config()
     params = st5.asr_init(jax.random.PRNGKey(0), cfg)
-    params = it.graft_fairseq_into_asr(params, state)
+    grafted = it.graft_fairseq_into_asr(params, state)
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.standard_normal((1, 80000)).astype(np.float32) * 0.1)
-    out, _ = st5.encode_speech(params, cfg, wav,
+    wav = jnp.asarray(rng.standard_normal(
+        (1, int(seconds * 16000))).astype(np.float32) * 0.1)
+    out, _ = st5.encode_speech(grafted, cfg, wav,
                                jnp.ones(wav.shape, jnp.int32))
     out = np.asarray(out)
     finite = bool(np.isfinite(out).all())
-    return {"check": "speecht5-base-graft",
-            "finite": finite, "out_std": float(out.std()),
-            "status": "pass" if finite and 1e-3 < out.std() < 1e3 else "fail"}
+    result = {"check": "speecht5-base-graft",
+              "finite": finite, "out_std": float(out.std()),
+              "status": "pass" if finite and 1e-3 < out.std() < 1e3 else "fail"}
+
+    if hf_dir is not None:
+        # cross-check the shared encoder stack structurally: every leaf the
+        # graft produced must exist with the same shape in the HF-imported
+        # tree (the reference's load_state_dict strict-key assertion,
+        # map_speecht5_hf.py:94-99 / notebook 4)
+        from transformers import SpeechT5ForSpeechToText
+
+        hf = SpeechT5ForSpeechToText.from_pretrained(
+            hf_dir, local_files_only=True).eval()
+        hf_params = load_hf_state_dict_for_asr(hf)
+        got = {k: v.shape for k, v in flatten_with_paths(
+            grafted["encoder"]).items()}
+        want = {k: v.shape for k, v in flatten_with_paths(
+            hf_params["encoder"]).items()}
+        missing = sorted(set(got) - set(want))
+        mismatched = sorted(k for k in got if k in want
+                            and tuple(got[k]) != tuple(want[k]))
+        result["hf_cross_check"] = {
+            "grafted_leaves": len(got), "hf_leaves": len(want),
+            "keys_not_in_hf": missing[:20], "shape_mismatches": mismatched[:20]}
+        if missing or mismatched:
+            result["status"] = "fail"
+    return result
+
+
+def load_hf_state_dict_for_asr(hf):
+    from loco_asr_tpu.models.speecht5.import_torch import load_hf_state_dict
+
+    return load_hf_state_dict({k: v.numpy() for k, v in
+                               hf.state_dict().items()})
 
 
 def check_gpt2(hf_dir):

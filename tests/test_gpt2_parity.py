@@ -93,3 +93,34 @@ def test_score_tokens_matches_dense_lm_head(pair):
     for chunk in (1, 4, 7, 28, 256):
         got = np.asarray(g.score_tokens(params, cfg, ids, chunk=chunk))
         np.testing.assert_allclose(got, dense, atol=1e-5, rtol=1e-5)
+
+
+def test_flash_and_ulysses_respect_padding_mask(pair):
+    """attn_impl kernels must honor a right-padded attention_mask via
+    kv_valid_len instead of silently dropping it (valid-prefix NLLs must
+    match the dense masked path)."""
+    from jax.sharding import Mesh
+
+    _, params, cfg = pair
+    rng = np.random.default_rng(5)
+    lens = [14, 9]
+    ids = rng.integers(1, cfg.vocab_size, (2, 16)).astype(np.int32)
+    mask = np.zeros((2, 16), np.int32)
+    for r, L in enumerate(lens):
+        mask[r, :L] = 1
+    ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+
+    dense = np.asarray(g.token_nll(
+        g.gpt2_logits(params, cfg, ids_j, attention_mask=mask_j)[0], ids_j))
+    flash = np.asarray(g.token_nll(
+        g.gpt2_logits(params, cfg, ids_j, attention_mask=mask_j,
+                      attn_impl="flash")[0], ids_j))
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("sp",))
+    uly = np.asarray(g.token_nll(
+        g.gpt2_logits(params, cfg, ids_j, attention_mask=mask_j,
+                      attn_impl="ulysses", ring=(mesh2, "sp"))[0], ids_j))
+    for r, L in enumerate(lens):
+        np.testing.assert_allclose(flash[r, : L - 1], dense[r, : L - 1],
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(uly[r, : L - 1], dense[r, : L - 1],
+                                   atol=1e-4, rtol=1e-4)

@@ -129,3 +129,12 @@ def test_init_sharded_places_params(mesh8):
         lambda rng, cfg: st5.asr_init(rng, cfg), jax.random.PRNGKey(0), cfg, mesh8)
     k = params["encoder"]["wrapped_encoder"]["layers"]["0"]["attention"]["q_proj"]["kernel"]
     assert k.sharding.spec == P("fsdp", "tensor")
+
+
+def test_slice_groups_rejects_non_dividing_count():
+    """8 devices into 3 simulated slices must raise, not silently yield 4
+    groups (the old guard checked divisibility by group SIZE, not count)."""
+    with pytest.raises(ValueError, match="not divisible"):
+        meshlib.slice_groups(jax.devices(), 3)
+    groups = meshlib.slice_groups(jax.devices(), 4)
+    assert len(groups) == 4

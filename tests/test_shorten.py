@@ -188,3 +188,32 @@ def test_truncated_stream_raises():
 def test_bad_magic_raises():
     with pytest.raises(shn.ShortenError):
         shn.decode(b"\x00" * 64)
+
+
+def test_native_no_sample_count_estimate_and_grow(tmp_path):
+    """A shorten SPHERE without a sample_count header: la_sphere_info must
+    return an estimate (rc=1) WITHOUT decoding, and read_sphere must grow
+    its buffer until the single decode fits, returning exact audio."""
+    from loco_asr_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    n = 2000
+    ub = np.clip(rng.integers(0, 255, (n, 1)), 0, 255).astype(np.uint8)
+    lin = shn.ulaw_bytes_to_internal(ub[:, 0])[:, None]
+    stream = shn.encode(lin, shn.TYPE_AU2, nmean=4, maxnlpc=0,
+                        commands=[shn.FN_DIFF1, shn.FN_DIFF2])
+    path = tmp_path / "nocount.sph"
+    coding = "ulaw,embedded-shorten-v2.00"
+    hdr = (f"NIST_1A\n   1024\nsample_rate -i 8000\n"
+           f"channel_count -i 1\nsample_n_bytes -i 1\n"
+           f"sample_coding -s{len(coding)} {coding}\nend_head\n")
+    with open(path, "wb") as f:
+        f.write(hdr.encode().ljust(1024, b" "))
+        f.write(stream)
+
+    out, rate = native.read_sphere(str(path))
+    assert rate == 8000 and len(out) == n
+    want = shn.internal_to_float(lin, shn.TYPE_AU2)[:, 0]
+    np.testing.assert_allclose(out, want, atol=1e-6)

@@ -66,3 +66,27 @@ def test_cli_reports_all_checks(tiny_gpt2_dir, tmp_path):
     by = {r["check"]: r for r in rows}
     assert by["gpt2-nll-parity"]["status"] == "pass"
     assert by["speecht5-hf-encoder-parity"]["status"] == "skipped"
+
+
+def test_check_speecht5_base_with_synthetic_fairseq(tmp_path):
+    """Drive the fairseq-graft check with a synthetic full-size checkpoint
+    built by inverse-renaming our own init (tests/test_fairseq_import.py's
+    mapping), so the real-weight path is proven runnable end-to-end."""
+    import jax
+    import numpy as np
+
+    from loco_asr_tpu.models.speecht5 import model as st5
+    from loco_asr_tpu.models.speecht5.config import SpeechT5Config
+    from tests.test_fairseq_import import to_fairseq_state
+
+    cfg = SpeechT5Config()
+    src = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    state = to_fairseq_state(src)
+    state["text_encoder_prenet.encoder_prenet.0.weight"] = np.zeros(
+        (cfg.vocab_size, cfg.hidden_size), np.float32)
+    ckpt = tmp_path / "speecht5_base.pt"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in state.items()}}, ckpt)
+
+    r = v.check_speecht5_base(str(ckpt), seconds=0.5)
+    assert r["status"] == "pass", r
