@@ -100,11 +100,222 @@ def _run_chunk(cfg: SpeechT5Config, params: Dict, n_steps: int, max_len: int,
     return jax.lax.fori_loop(0, n_steps, body, state)
 
 
+class BeamSlotState(NamedTuple):
+    """Fixed-shape device state for S beam-decode slots of K beams each.
+    enc/enc_mask/caches are beam-flat ([S*K, ...]); bookkeeping is [S, K]."""
+    enc: jnp.ndarray        # [S*K, Tf, H]
+    enc_mask: jnp.ndarray   # [S*K, Tf]
+    caches: Dict            # [S*K, H, max_len+1, hd] per layer
+    step: jnp.ndarray       # [S] per-slot decode position
+    tokens: jnp.ndarray     # [S, K, max_len]
+    scores: jnp.ndarray     # [S, K] raw log-prob sums
+    lengths: jnp.ndarray    # [S, K] tokens emitted incl. eos
+    done: jnp.ndarray       # [S, K]
+    last: jnp.ndarray       # [S, K] last emitted token
+
+
+NEG_INF = -1.0e9
+
+
+def _beam_init_slots(cfg: SpeechT5Config, slots: int, k: int, enc_frames: int,
+                     max_len: int, dtype=jnp.float32) -> BeamSlotState:
+    return BeamSlotState(
+        enc=jnp.zeros((slots * k, enc_frames, cfg.hidden_size), dtype),
+        enc_mask=jnp.zeros((slots * k, enc_frames), jnp.int32),
+        caches=dec.init_decode_cache(cfg, slots * k, max_len + 1, dtype),
+        step=jnp.zeros((slots,), jnp.int32),
+        tokens=jnp.full((slots, k, max_len), cfg.pad_token_id, jnp.int32),
+        scores=jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1),
+                                    jnp.float32)[None], (slots, 1)),
+        lengths=jnp.zeros((slots, k), jnp.int32),
+        done=jnp.ones((slots, k), bool),
+        last=jnp.full((slots, k), cfg.decoder_start_token_id, jnp.int32),
+    )
+
+
+def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
+                      sel: jnp.ndarray, enc_new: jnp.ndarray,
+                      mask_new: jnp.ndarray) -> BeamSlotState:
+    """Admit new utterances into the selected slots (sel: [S] bool;
+    enc_new/mask_new are [S, ...], tiled over the slot's K beams)."""
+    s = sel.shape[0]
+    sel_flat = jnp.repeat(sel, k)                    # [S*K]
+    enc_t = jnp.repeat(enc_new, k, axis=0)
+    mask_t = jnp.repeat(mask_new, k, axis=0)
+    zero = lambda c: jnp.where(sel_flat[:, None, None, None], 0.0, c)
+    init_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1),
+                                       jnp.float32)[None], (s, 1))
+    s1, s2 = sel[:, None], sel[:, None, None]
+    return BeamSlotState(
+        enc=jnp.where(sel_flat[:, None, None], enc_t, state.enc),
+        enc_mask=jnp.where(sel_flat[:, None], mask_t, state.enc_mask),
+        caches=jax.tree_util.tree_map(zero, state.caches),
+        step=jnp.where(sel, 0, state.step),
+        tokens=jnp.where(s2, cfg.pad_token_id, state.tokens),
+        scores=jnp.where(s1, init_scores, state.scores),
+        lengths=jnp.where(s1, 0, state.lengths),
+        done=jnp.where(s1, False, state.done),
+        last=jnp.where(s1, cfg.decoder_start_token_id, state.last),
+    )
+
+
+def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
+                    max_len: int, state: BeamSlotState) -> BeamSlotState:
+    """``n_steps`` beam steps over all slots (all-done slots inert) —
+    the per-step math of decode/beam.beam_search with per-slot offsets."""
+    s = state.step.shape[0]
+    v = cfg.vocab_size
+    pad_onehot = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
+    rows, cols = jnp.arange(s), jnp.arange(k)
+
+    def body(_, st: BeamSlotState) -> BeamSlotState:
+        slot_done = jnp.all(st.done, axis=1)                       # [S]
+        step_flat = jnp.repeat(st.step, k)                         # [S*K]
+        logits, caches = st5.asr_decode_step(
+            params, cfg, st.last.reshape(s * k, 1), step_flat,
+            st.enc, st.enc_mask, st.caches)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        logp = logp.reshape(s, k, v)
+        logp = jnp.where(st.done[..., None], pad_onehot[None, None], logp)
+
+        cand = st.scores[..., None] + logp
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(s, k * v), k)
+        parent = top_idx // v
+        tok = (top_idx % v).astype(jnp.int32)
+
+        gather = lambda x: jnp.take_along_axis(
+            x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
+        pos = jnp.minimum(st.step, max_len - 1)
+        tokens = gather(st.tokens)
+        cur = tokens[rows[:, None], cols[None, :], pos[:, None]]
+        tokens = tokens.at[rows[:, None], cols[None, :], pos[:, None]].set(
+            jnp.where(slot_done[:, None], cur, tok))
+        done = gather(st.done)
+        lengths = gather(st.lengths)
+        lengths = jnp.where(done | slot_done[:, None], lengths, lengths + 1)
+        done = done | (tok == cfg.eos_token_id)
+
+        flat_idx = (rows[:, None] * k + parent).reshape(-1)
+        reorder = lambda x: jnp.take(x, flat_idx, axis=0)
+        caches = jax.tree_util.tree_map(reorder, caches)
+
+        step = jnp.where(slot_done, st.step, st.step + 1)
+        done = done | (step >= max_len)[:, None]
+        # frozen slots keep their pre-step state wholesale
+        keep = lambda new, old: jnp.where(
+            slot_done.reshape((s,) + (1,) * (new.ndim - 1)), old, new)
+        keep_flat = lambda new, old: jnp.where(
+            jnp.repeat(slot_done, k).reshape((s * k,) + (1,) * (new.ndim - 1)),
+            old, new)
+        return BeamSlotState(
+            st.enc, st.enc_mask,
+            jax.tree_util.tree_map(keep_flat, caches, st.caches),
+            step,
+            keep(tokens, st.tokens), keep(top_scores, st.scores),
+            keep(lengths, st.lengths), keep(done, st.done),
+            keep(tok, st.last))
+
+    return jax.lax.fori_loop(0, n_steps, body, state)
+
+
 def _cfg_key(cfg: SpeechT5Config) -> tuple:
     """Hashable config fingerprint (lists -> tuples)."""
     return tuple(sorted(
         (k, tuple(v) if isinstance(v, (list, tuple)) else v)
         for k, v in dataclasses.asdict(cfg).items()))
+
+
+@functools.lru_cache(maxsize=8)
+def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int):
+    cfg = SpeechT5Config(**dict(cfg_key))
+    insert = jax.jit(
+        lambda state, sel, enc_new, mask_new: _beam_insert_many(
+            cfg, k, state, sel, enc_new, mask_new), donate_argnums=(0,))
+    chunk = jax.jit(
+        lambda params, state: _beam_run_chunk(cfg, params, k, chunk_steps,
+                                              max_len, state),
+        donate_argnums=(1,))
+    return insert, chunk
+
+
+def decode_continuous_beam(
+    params: Dict, cfg: SpeechT5Config,
+    utterances: Iterable[Tuple[str, np.ndarray]],
+    *, slots: int = 4, beam_size: int = 5, chunk_steps: int = 32,
+    max_len: int = 100, length_penalty: float = 1.0,
+    audio_samples: Optional[int] = None,
+    encode_fn: Optional[Callable] = None,
+) -> Dict[str, Tuple[np.ndarray, int]]:
+    """Beam-search with continuous batching: like :func:`decode_continuous`
+    but each slot runs ``beam_size`` beams; a slot is refilled once ALL its
+    beams finish.  Static ``beam_search`` always runs the full ``max_len``
+    fori_loop, so slot retirement wins even more here than for greedy.
+
+    Returns {utt_id: (tokens, length)} of the length-penalty-best
+    hypothesis — same tokens as per-utterance ``beam_search``.
+    """
+    from .beam import _length_penalty
+
+    utts: List[Tuple[str, np.ndarray]] = list(utterances)
+    if not utts:
+        return {}
+    if audio_samples is None:
+        audio_samples = max(len(w) for _, w in utts)
+    for uid, w in utts:
+        if len(w) > audio_samples:
+            raise ValueError(f"{uid}: {len(w)} samples > bucket "
+                             f"{audio_samples}")
+    if encode_fn is None:
+        encode_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+    insert_fn, chunk_fn = _beam_jit_fns(_cfg_key(cfg), beam_size,
+                                        chunk_steps, max_len)
+
+    slot_owner: List[Optional[str]] = [None] * slots
+    results: Dict[str, Tuple[np.ndarray, int]] = {}
+    queue = list(reversed(utts))
+    state: Optional[BeamSlotState] = None
+
+    def admit(state: Optional[BeamSlotState]) -> Optional[BeamSlotState]:
+        free = [i for i in range(slots) if slot_owner[i] is None]
+        take = min(len(free), len(queue))
+        if take == 0:
+            return state
+        w = np.zeros((slots, audio_samples), np.float32)
+        m = np.zeros((slots, audio_samples), np.int32)
+        sel = np.zeros((slots,), bool)
+        for slot in free[:take]:
+            uid, wav = queue.pop()
+            w[slot, : len(wav)] = wav
+            m[slot, : len(wav)] = 1
+            sel[slot] = True
+            slot_owner[slot] = uid
+        enc, enc_mask = encode_fn(params, jnp.asarray(w), jnp.asarray(m))
+        if state is None:
+            state = _beam_init_slots(cfg, slots, beam_size, enc.shape[1],
+                                     max_len, enc.dtype)
+        return insert_fn(state, jnp.asarray(sel), enc, enc_mask)
+
+    state = admit(state)
+    while any(o is not None for o in slot_owner):
+        state = chunk_fn(params, state)
+        done = np.asarray(state.done)                # one host sync per chunk
+        slot_done = done.all(axis=1)
+        if any(slot_done[i] for i in range(slots)
+               if slot_owner[i] is not None):
+            tokens = np.asarray(state.tokens)
+            scores = np.asarray(state.scores)
+            lengths = np.asarray(state.lengths)
+            for i in range(slots):
+                if slot_owner[i] is None or not slot_done[i]:
+                    continue
+                norm = scores[i] / np.asarray(_length_penalty(
+                    jnp.maximum(jnp.asarray(lengths[i]), 1), length_penalty))
+                best = int(np.argmax(norm))
+                toks = tokens[i, best]
+                results[slot_owner[i]] = (toks, int(lengths[i, best]))
+                slot_owner[i] = None
+            state = admit(state)
+    return results
 
 
 @functools.lru_cache(maxsize=8)

@@ -37,8 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--limit_batches", type=int, default=None)
     p.add_argument("--continuous", action="store_true",
                    help="continuous batching: per-slot admission refills a "
-                        "decode slot the moment its stream hits EOS "
-                        "(decode/batcher.py; greedy, no fusion)")
+                        "decode slot the moment its stream finishes "
+                        "(decode/batcher.py; greedy or beam, no fusion)")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard the decode batch over this many devices "
                         "(params replicated; encoder + the whole beam/"
@@ -129,11 +129,11 @@ def main(argv=None) -> int:
     audio_seconds = 0.0
 
     if args.continuous:
-        from ..decode.batcher import decode_continuous
+        from ..decode.batcher import decode_continuous, decode_continuous_beam
 
-        if args.beam_size != 1 or fusion is not None:
-            raise SystemExit("--continuous supports greedy decode without "
-                             "LM fusion (use static batching otherwise)")
+        if fusion is not None:
+            raise SystemExit("--continuous does not support LM fusion yet "
+                             "(use static batching)")
         utts, text_by_id = [], {}
         for bi, batch in enumerate(ds.batches(
                 tokenizer, args.batch_size, max_seconds=args.max_seconds,
@@ -147,10 +147,19 @@ def main(argv=None) -> int:
                 utts.append((utt_id, np.asarray(wav)[:n]))
                 text_by_id[utt_id] = text
         audio_seconds = sum(len(w) for _, w in utts) / 16000.0
-        results = decode_continuous(
-            params, cfg, utts, slots=args.batch_size,
-            max_len=args.max_decode_len,
-            audio_samples=int(args.max_seconds * 16000), encode_fn=enc_fn)
+        if args.beam_size > 1:
+            results = decode_continuous_beam(
+                params, cfg, utts, slots=args.batch_size,
+                beam_size=args.beam_size, max_len=args.max_decode_len,
+                length_penalty=args.length_penalty,
+                audio_samples=int(args.max_seconds * 16000),
+                encode_fn=enc_fn)
+        else:
+            results = decode_continuous(
+                params, cfg, utts, slots=args.batch_size,
+                max_len=args.max_decode_len,
+                audio_samples=int(args.max_seconds * 16000),
+                encode_fn=enc_fn)
         for utt_id, _ in utts:
             toks, L = results[utt_id]
             ids = [int(t) for t in toks[:L] if int(t) != cfg.eos_token_id]

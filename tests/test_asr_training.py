@@ -163,3 +163,20 @@ def test_decode_asr_data_parallel_matches_single(kaldi_dir, tmp_path,
     single = sorted(open("exp/single/hyp.text").read().splitlines())
     dp = sorted(open("exp/dp/hyp.text").read().splitlines())
     assert dp == single
+
+
+def test_decode_asr_continuous_beam_matches_static(kaldi_dir, tmp_path,
+                                                   monkeypatch):
+    """--continuous with beam_size > 1 must match static beam decoding."""
+    from loco_asr_tpu.pipelines import decode_asr
+
+    monkeypatch.chdir(tmp_path)
+    common = ["--data_dir", kaldi_dir, "--tiny", "--beam_size", "2",
+              "--max_decode_len", "8", "--batch_size", "2",
+              "--max_seconds", "1.5"]
+    assert decode_asr.main(common + ["--out_dir", "exp/static"]) == 0
+    assert decode_asr.main(common + ["--out_dir", "exp/cont",
+                                     "--continuous"]) == 0
+    static = sorted(open("exp/static/hyp.text").read().splitlines())
+    cont = sorted(open("exp/cont/hyp.text").read().splitlines())
+    assert cont == static

@@ -87,3 +87,29 @@ def test_per_stream_cache_index_matches_scalar():
                     jax.tree_util.tree_leaves(c2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_beam_continuous_matches_per_utterance_beam(setup):
+    """Beam-mode continuous batching == per-utterance beam_search (top
+    hypothesis tokens and length), across slot refills."""
+    from loco_asr_tpu.decode.beam import beam_search
+
+    cfg, params, utts = setup
+    max_len, bucket, k = 10, 3200, 3
+    results = batcher.decode_continuous_beam(
+        params, cfg, utts, slots=2, beam_size=k, chunk_steps=4,
+        max_len=max_len, audio_samples=bucket)
+    assert set(results) == {u for u, _ in utts}
+    for uid, wav in utts:
+        w = np.zeros((1, bucket), np.float32)
+        w[0, : len(wav)] = wav
+        m = np.zeros((1, bucket), np.int32)
+        m[0, : len(wav)] = 1
+        enc, mask = st5.encode_speech(params, cfg, jnp.asarray(w),
+                                      jnp.asarray(m))
+        hyp = beam_search(params, cfg, enc, mask, beam_size=k,
+                          max_len=max_len)
+        toks, length = results[uid]
+        assert length == int(np.asarray(hyp.lengths)[0, 0]), uid
+        np.testing.assert_array_equal(
+            toks, np.asarray(hyp.tokens)[0, 0], err_msg=uid)
