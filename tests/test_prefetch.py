@@ -12,17 +12,22 @@ def test_prefetch_preserves_order():
 
 
 def test_prefetch_overlaps_production():
-    def slow_source():
+    """The producer must run ahead WITHOUT any consumption — checked
+    structurally (items land in the buffer before the first __next__), not
+    by wall-clock margins, which flake on this one-core box."""
+    produced = []
+
+    def source():
         for i in range(5):
-            time.sleep(0.02)
+            produced.append(i)
             yield i
 
-    it = prefetch(slow_source(), depth=5)
-    time.sleep(0.15)  # producer should have buffered everything by now
-    t0 = time.perf_counter()
-    out = list(it)
-    assert out == list(range(5))
-    assert time.perf_counter() - t0 < 0.05  # consumption is instant
+    it = prefetch(source(), depth=5)
+    deadline = time.time() + 10.0
+    while len(produced) < 5 and time.time() < deadline:
+        time.sleep(0.01)
+    assert len(produced) == 5  # fully buffered ahead of consumption
+    assert list(it) == list(range(5))
 
 
 def test_prefetch_propagates_exceptions():
