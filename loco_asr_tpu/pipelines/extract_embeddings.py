@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--tokenizer", default="char",
                    help="'char' or dir with vocab.json+merges.txt (text modality)")
     p.add_argument("--limit", type=int, default=None, help="cap utterances (smoke)")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard extraction batches over this many devices "
+                        "(params replicated, batch rows data-sharded)")
     return p.parse_args(argv)
 
 
@@ -82,6 +85,23 @@ def main(argv=None) -> int:
         fwd = jax.jit(lambda p, ids, m: (
             st5.encode_text(p, cfg, ids, m), None))
 
+    place = lambda x, m: (jnp.asarray(x), jnp.asarray(m))
+    if args.data_parallel > 1:
+        from ..parallel import mesh as meshlib
+
+        dp_mesh = meshlib.make_mesh(data=args.data_parallel)
+        batch_sh = meshlib.data_sharding(dp_mesh)
+        params = jax.device_put(params, meshlib.replicated(dp_mesh))
+
+        def place(x, m):  # noqa: F811 — pad rows + shard over the mesh;
+            # pad rows fall off at the zip over the (unpadded) batch list
+            pad = (-x.shape[0]) % args.data_parallel
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
+            return (jax.device_put(jnp.asarray(x), batch_sh),
+                    jax.device_put(jnp.asarray(m), batch_sh))
+
     writer = embedding_store.EmbeddingShardWriter(out_dir) if args.format == "npz" else None
     pickle_records: List = []
 
@@ -104,7 +124,7 @@ def main(argv=None) -> int:
             for i, w in enumerate(wavs):
                 x[i, :len(w)] = w
                 mask[i, :len(w)] = 1
-            hidden, fmask = fwd(params, jnp.asarray(x), jnp.asarray(mask))
+            hidden, fmask = fwd(params, *place(x, mask))
             hidden = np.asarray(hidden, np.float32)
             flens = np.asarray(fmask.sum(-1)) if fmask is not None else \
                 np.full(len(wavs), hidden.shape[1])
@@ -122,7 +142,7 @@ def main(argv=None) -> int:
             for i, ids in enumerate(ids_list):
                 x[i, :len(ids)] = ids
                 mask[i, :len(ids)] = 1
-            hidden, _ = fwd(params, jnp.asarray(x), jnp.asarray(mask))
+            hidden, _ = fwd(params, *place(x, mask))
             hidden = np.asarray(hidden, np.float32)
             flens = mask.sum(-1)
 

@@ -368,3 +368,31 @@ def test_eval_ppl_cli_parity_flags(fisher_text, tmp_path):
     args = eval_ppl.parse_arguments(["-i", "f", "-o", "d", "-sb", "32",
                                      "--ct", "max_len", "--no_cuda", "-v"])
     assert args.bsize == 32 and args.context_type == "max_len"
+
+
+def test_extract_embeddings_data_parallel_matches_single(slurp_root, tmp_path,
+                                                         monkeypatch):
+    """--data_parallel 2: sharded extraction must write the same embeddings
+    as the single-device run (pad rows dropped, params replicated)."""
+    import numpy as np
+
+    from loco_asr_tpu.data.embedding_store import EmbeddingStore
+    from loco_asr_tpu.pipelines import extract_embeddings
+
+    monkeypatch.chdir(tmp_path)
+    common_args = ["-m", "audio", "-s", "train", "--data_path", slurp_root,
+                   "--batch_size", "3", "--limit", "5"]
+    assert extract_embeddings.main(
+        common_args + ["--out_dir", str(tmp_path / "single")]) == 0
+    assert extract_embeddings.main(
+        common_args + ["--out_dir", str(tmp_path / "dp"),
+                       "--data_parallel", "2"]) == 0
+    single = EmbeddingStore(str(tmp_path / "single"))
+    dp = EmbeddingStore(str(tmp_path / "dp"))
+    assert len(single) == len(dp) == 5
+    for i in range(5):
+        sid, semb, stgt = single[i]
+        did, demb, dtgt = dp[i]
+        assert sid == did
+        np.testing.assert_allclose(demb, semb, atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(dtgt, stgt)
