@@ -59,14 +59,15 @@ def init_slots(cfg: SpeechT5Config, slots: int, enc_frames: int,
 
 
 def _insert_many(cfg: SpeechT5Config, state: SlotState, sel: jnp.ndarray,
-                 enc_new: jnp.ndarray, mask_new: jnp.ndarray) -> SlotState:
+                 enc_new: jnp.ndarray, mask_new: jnp.ndarray,
+                 lm_cache: Optional[Dict] = None):
     """Admit utterances into every slot with ``sel[s]`` True, all at once
     (fresh step/cache/output).  ``enc_new``/``mask_new`` are full [S, ...]
     arrays whose unselected rows are ignored — one encode call and ONE
     device round-trip admits a whole batch of streams."""
     s1 = sel[:, None]
     zero = lambda c: jnp.where(sel[:, None, None, None], 0.0, c)
-    return SlotState(
+    new = SlotState(
         enc=jnp.where(sel[:, None, None], enc_new, state.enc),
         enc_mask=jnp.where(s1, mask_new, state.enc_mask),
         caches=jax.tree_util.tree_map(zero, state.caches),
@@ -75,18 +76,28 @@ def _insert_many(cfg: SpeechT5Config, state: SlotState, sel: jnp.ndarray,
         done=jnp.where(sel, False, state.done),
         out=jnp.where(s1, cfg.pad_token_id, state.out),
     )
+    if lm_cache is None:
+        return new
+    return new, jax.tree_util.tree_map(zero, lm_cache)
 
 
 def _run_chunk(cfg: SpeechT5Config, params: Dict, n_steps: int, max_len: int,
-               state: SlotState) -> SlotState:
-    """``n_steps`` greedy decode steps over all slots (done slots inert)."""
+               state: SlotState, fusion=None, lm_cache: Optional[Dict] = None):
+    """``n_steps`` greedy decode steps over all slots (done slots inert).
+    With ``fusion`` (a FusionLM whose params ride in fusion.params), the LM
+    scores each step at the slot's own offset (vector cache_index)."""
     s = state.step.shape[0]
     rows = jnp.arange(s)
 
-    def body(_, st: SlotState) -> SlotState:
+    def body(_, carry):
+        st, lmc = carry
         logits, caches = st5.asr_decode_step(
             params, cfg, st.last, st.step, st.enc, st.enc_mask, st.caches)
-        nxt = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if fusion is not None:
+            lm_logp, lmc = fusion.step(st.last, st.step, lmc)
+            logp = logp + lm_logp
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         nxt = jnp.where(st.done, cfg.pad_token_id, nxt)
         pos = jnp.minimum(st.step, max_len - 1)
         cur = st.out[rows, pos]
@@ -94,10 +105,11 @@ def _run_chunk(cfg: SpeechT5Config, params: Dict, n_steps: int, max_len: int,
         done = st.done | (nxt == cfg.eos_token_id)
         step = jnp.where(st.done, st.step, st.step + 1)
         done = done | (step >= max_len)
-        return SlotState(st.enc, st.enc_mask, caches, step,
-                         nxt[:, None], done, out)
+        return (SlotState(st.enc, st.enc_mask, caches, step,
+                          nxt[:, None], done, out), lmc)
 
-    return jax.lax.fori_loop(0, n_steps, body, state)
+    state, lm_cache = jax.lax.fori_loop(0, n_steps, body, (state, lm_cache))
+    return (state, lm_cache) if fusion is not None else state
 
 
 class BeamSlotState(NamedTuple):
@@ -319,18 +331,37 @@ def decode_continuous_beam(
 
 
 @functools.lru_cache(maxsize=8)
-def _jit_fns(cfg_key: tuple, chunk_steps: int, max_len: int):
+def _jit_fns(cfg_key: tuple, chunk_steps: int, max_len: int,
+             lm_key: Optional[tuple] = None, lm_weight: float = 0.3):
     """Cached jit'd insert/chunk programs — cfg is an unhashable dataclass,
     so the cache key is its value fingerprint.  Caching here (instead of
     per-call lambdas) is what makes repeated decode_continuous calls reuse
-    their compilations; params rides as an argument for the same reason."""
+    their compilations; params/lm_params ride as arguments for the same
+    reason."""
+    from ..models.gpt2.model import GPT2Config
+    from .fusion import FusionLM
+
     cfg = SpeechT5Config(**dict(cfg_key))
+    if lm_key is None:
+        insert = jax.jit(
+            lambda state, sel, enc_new, mask_new: _insert_many(
+                cfg, state, sel, enc_new, mask_new), donate_argnums=(0,))
+        chunk = jax.jit(
+            lambda params, state: _run_chunk(cfg, params, chunk_steps,
+                                             max_len, state),
+            donate_argnums=(1,))
+        return insert, chunk
+    lm_cfg = GPT2Config(**dict(lm_key))
     insert = jax.jit(
-        lambda state, sel, enc_new, mask_new: _insert_many(
-            cfg, state, sel, enc_new, mask_new), donate_argnums=(0,))
+        lambda state, sel, enc_new, mask_new, lm_cache: _insert_many(
+            cfg, state, sel, enc_new, mask_new, lm_cache),
+        donate_argnums=(0, 4))
     chunk = jax.jit(
-        lambda params, state: _run_chunk(cfg, params, chunk_steps, max_len,
-                                         state), donate_argnums=(1,))
+        lambda params, lm_params, state, lm_cache: _run_chunk(
+            cfg, params, chunk_steps, max_len, state,
+            fusion=FusionLM(lm_params, lm_cfg, weight=lm_weight),
+            lm_cache=lm_cache),
+        donate_argnums=(2, 3))
     return insert, chunk
 
 
@@ -340,8 +371,12 @@ def decode_continuous(
     *, slots: int = 8, chunk_steps: int = 32, max_len: int = 100,
     audio_samples: Optional[int] = None,
     encode_fn: Optional[Callable] = None,
+    fusion=None,
 ) -> Dict[str, Tuple[np.ndarray, int]]:
     """Greedy-decode a stream of utterances with continuous batching.
+    With ``fusion`` (a decode.fusion.FusionLM), each step adds the
+    weighted LM log-prob — the LM cache rides per-slot at the slot's own
+    offset and is reset on admission.
 
     Args:
       utterances: iterable of (utt_id, waveform [T] float32).  Waveforms
@@ -370,18 +405,23 @@ def decode_continuous(
 
     if encode_fn is None:
         encode_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
-    insert_fn, chunk_fn = _jit_fns(_cfg_key(cfg), chunk_steps, max_len)
+    if fusion is None:
+        insert_fn, chunk_fn = _jit_fns(_cfg_key(cfg), chunk_steps, max_len)
+    else:
+        insert_fn, chunk_fn = _jit_fns(_cfg_key(cfg), chunk_steps, max_len,
+                                       _cfg_key(fusion.cfg), fusion.weight)
 
     slot_owner: List[Optional[str]] = [None] * slots
     results: Dict[str, Tuple[np.ndarray, int]] = {}
     queue = list(reversed(utts))          # pop() yields arrival order
     state: Optional[SlotState] = None     # sized from the first encode
+    lm_cache: Optional[Dict] = None
 
-    def admit(state: Optional[SlotState]) -> Optional[SlotState]:
+    def admit(state, lm_cache):
         free = [i for i in range(slots) if slot_owner[i] is None]
         take = min(len(free), len(queue))
         if take == 0:
-            return state
+            return state, lm_cache
         # one [slots, T] encode + ONE vectorized insert per admission round
         w = np.zeros((slots, audio_samples), np.float32)
         m = np.zeros((slots, audio_samples), np.int32)
@@ -395,11 +435,18 @@ def decode_continuous(
         enc, enc_mask = encode_fn(params, jnp.asarray(w), jnp.asarray(m))
         if state is None:
             state = init_slots(cfg, slots, enc.shape[1], max_len, enc.dtype)
-        return insert_fn(state, jnp.asarray(sel), enc, enc_mask)
+            if fusion is not None:
+                lm_cache = fusion.init_cache(slots, max_len + 1)
+        if fusion is None:
+            return insert_fn(state, jnp.asarray(sel), enc, enc_mask), None
+        return insert_fn(state, jnp.asarray(sel), enc, enc_mask, lm_cache)
 
-    state = admit(state)
+    state, lm_cache = admit(state, lm_cache)
     while any(o is not None for o in slot_owner):
-        state = chunk_fn(params, state)
+        if fusion is None:
+            state = chunk_fn(params, state)
+        else:
+            state, lm_cache = chunk_fn(params, fusion.params, state, lm_cache)
         done = np.asarray(state.done)                 # ONE host sync per chunk
         if done.all() or any(done[i] for i in range(slots)
                              if slot_owner[i] is not None):
@@ -410,5 +457,5 @@ def decode_continuous(
                     length = int((toks != cfg.pad_token_id).sum())
                     results[slot_owner[i]] = (toks, length)
                     slot_owner[i] = None
-            state = admit(state)
+            state, lm_cache = admit(state, lm_cache)
     return results

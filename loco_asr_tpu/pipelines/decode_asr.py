@@ -131,9 +131,9 @@ def main(argv=None) -> int:
     if args.continuous:
         from ..decode.batcher import decode_continuous, decode_continuous_beam
 
-        if fusion is not None:
-            raise SystemExit("--continuous does not support LM fusion yet "
-                             "(use static batching)")
+        if fusion is not None and args.beam_size > 1:
+            raise SystemExit("--continuous beam does not support LM fusion "
+                             "yet (use static batching or greedy)")
         utts, text_by_id = [], {}
         for bi, batch in enumerate(ds.batches(
                 tokenizer, args.batch_size, max_seconds=args.max_seconds,
@@ -159,7 +159,7 @@ def main(argv=None) -> int:
                 params, cfg, utts, slots=args.batch_size,
                 max_len=args.max_decode_len,
                 audio_samples=int(args.max_seconds * 16000),
-                encode_fn=enc_fn)
+                encode_fn=enc_fn, fusion=fusion)
         for utt_id, _ in utts:
             toks, L = results[utt_id]
             ids = [int(t) for t in toks[:L] if int(t) != cfg.eos_token_id]

@@ -113,3 +113,35 @@ def test_beam_continuous_matches_per_utterance_beam(setup):
         assert length == int(np.asarray(hyp.lengths)[0, 0]), uid
         np.testing.assert_array_equal(
             toks, np.asarray(hyp.tokens)[0, 0], err_msg=uid)
+
+
+def test_fusion_continuous_matches_per_utterance(setup):
+    """Continuous batching with an LM fusion scorer == per-utterance
+    greedy_decode(fusion=...) — the per-slot LM cache offsets must track
+    the decoder's."""
+    from loco_asr_tpu.decode.fusion import FusionLM
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg, params, utts = setup
+    lm_cfg = g.tiny_gpt2_config(vocab_size=cfg.vocab_size, n_positions=32,
+                                n_embd=16, n_head=2)
+    fusion = FusionLM(g.gpt2_init(jax.random.PRNGKey(7), lm_cfg), lm_cfg,
+                      weight=0.4)
+    max_len, bucket = 10, 3200
+    results = batcher.decode_continuous(
+        params, cfg, utts, slots=2, chunk_steps=4, max_len=max_len,
+        audio_samples=bucket, fusion=fusion)
+    assert set(results) == {u for u, _ in utts}
+    for uid, wav in utts:
+        w = np.zeros((1, bucket), np.float32)
+        w[0, : len(wav)] = wav
+        m = np.zeros((1, bucket), np.int32)
+        m[0, : len(wav)] = 1
+        enc, mask = st5.encode_speech(params, cfg, jnp.asarray(w),
+                                      jnp.asarray(m))
+        toks, lens = greedy_decode(params, cfg, enc, mask, max_len=max_len,
+                                   fusion=fusion)
+        got_toks, got_len = results[uid]
+        assert got_len == int(np.asarray(lens)[0]), uid
+        np.testing.assert_array_equal(got_toks, np.asarray(toks)[0],
+                                      err_msg=uid)
