@@ -88,11 +88,15 @@ def _run_chunk(cfg: SpeechT5Config, params: Dict, n_steps: int, max_len: int,
     scores each step at the slot's own offset (vector cache_index)."""
     s = state.step.shape[0]
     rows = jnp.arange(s)
+    # cross-attention K/V once per chunk (loop-invariant; recomputing the
+    # encoder projections per STEP dominates at long Tenc)
+    cross = st5.asr_cross_cache(params, cfg, state.enc)
 
     def body(_, carry):
         st, lmc = carry
         logits, caches = st5.asr_decode_step(
-            params, cfg, st.last, st.step, st.enc, st.enc_mask, st.caches)
+            params, cfg, st.last, st.step, st.enc, st.enc_mask, st.caches,
+            cross_caches=cross)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if fusion is not None:
             lm_logp, lmc = fusion.step(st.last, st.step, lmc)
@@ -179,13 +183,14 @@ def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
     v = cfg.vocab_size
     pad_onehot = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
     rows, cols = jnp.arange(s), jnp.arange(k)
+    cross = st5.asr_cross_cache(params, cfg, state.enc)  # loop-invariant
 
     def body(_, st: BeamSlotState) -> BeamSlotState:
         slot_done = jnp.all(st.done, axis=1)                       # [S]
         step_flat = jnp.repeat(st.step, k)                         # [S*K]
         logits, caches = st5.asr_decode_step(
             params, cfg, st.last.reshape(s * k, 1), step_flat,
-            st.enc, st.enc_mask, st.caches)
+            st.enc, st.enc_mask, st.caches, cross_caches=cross)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         logp = logp.reshape(s, k, v)
         logp = jnp.where(st.done[..., None], pad_onehot[None, None], logp)

@@ -42,17 +42,22 @@ def greedy_decode(
     fusion: Optional[FusionLM] = None,
     lm_cache: Optional[Dict] = None, lm_start: Optional[jnp.ndarray] = None,
     lm_mask: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_lm_cache: bool = False,
+):
     """Greedy decode -> (tokens [B, max_len], lengths [B]).
 
     Pass a primed ``lm_cache``/``lm_start``/``lm_mask`` for conversation
     carry-over (decode/context.py); the LM then conditions on prior
     utterances.  ``lm_mask`` [B, cache_len] marks valid cache positions
     (ragged per-stream histories leave stale KV slots that causality does
-    not hide).
+    not hide).  Carry-over callers MUST take the updated cache back
+    (``return_lm_cache=True`` -> third return value) — the decode loop's
+    KV writes live in that copy, and advancing offsets over the original
+    cache would attend zero-filled slots.
     """
     b = encoder_hidden.shape[0]
     caches = dec.init_decode_cache(cfg, b, max_len + 1, encoder_hidden.dtype)
+    cross = st5.asr_cross_cache(params, cfg, encoder_hidden)  # once, not per step
     if fusion is not None and lm_cache is None:
         lm_cache = fusion.init_cache(b, max_len + 1)
         lm_start = jnp.zeros((), jnp.int32)
@@ -60,7 +65,8 @@ def greedy_decode(
     def body(state):
         t, tok, done, caches, lm_cache, out = state
         logits, caches = st5.asr_decode_step(
-            params, cfg, tok, t, encoder_hidden, encoder_mask, caches)
+            params, cfg, tok, t, encoder_hidden, encoder_mask, caches,
+            cross_caches=cross)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if fusion is not None:
             lm_logp, lm_cache = fusion.step(tok, lm_start + t, lm_cache,
@@ -81,8 +87,10 @@ def greedy_decode(
             jnp.zeros((b,), bool),
             caches, lm_cache,
             jnp.full((b, max_len), cfg.pad_token_id, jnp.int32))
-    _, _, _, _, _, out = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, final_lm_cache, out = jax.lax.while_loop(cond, body, init)
     lengths = jnp.sum(out != cfg.pad_token_id, axis=-1)
+    if return_lm_cache:
+        return out, lengths, final_lm_cache
     return out, lengths
 
 
@@ -108,6 +116,7 @@ def beam_search(
     enc = _tile_beam(encoder_hidden, k)            # [B*K, T, H]
     enc_mask = _tile_beam(encoder_mask, k) if encoder_mask is not None else None
     caches = dec.init_decode_cache(cfg, b * k, max_len + 1, encoder_hidden.dtype)
+    cross = st5.asr_cross_cache(params, cfg, enc)  # once, not per step
     if fusion is not None and lm_cache is None:
         lm_cache = fusion.init_cache(b * k, max_len + 1)
         lm_start = jnp.zeros((), jnp.int32)
@@ -119,7 +128,8 @@ def beam_search(
     def body(t, state):
         tokens, scores, lengths, done, last, caches, lm_cache = state
         logits, new_caches = st5.asr_decode_step(
-            params, cfg, last.reshape(b * k, 1), t, enc, enc_mask, caches)
+            params, cfg, last.reshape(b * k, 1), t, enc, enc_mask, caches,
+            cross_caches=cross)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if fusion is not None:
             lm_logp, new_lm_cache = fusion.step(last.reshape(b * k, 1),

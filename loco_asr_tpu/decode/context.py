@@ -63,15 +63,20 @@ class ConversationContext:
     def state(self) -> Tuple[Dict, jnp.ndarray]:
         return self._cache, jnp.asarray(self._offsets)
 
-    def append(self, tokens: jnp.ndarray, lengths: jnp.ndarray) -> None:
+    def append(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
+               cache: Optional[Dict] = None) -> None:
         """Fold a decoded utterance [B, L] into the rolling context.
 
-        The decode loop already wrote these tokens' KV into the cache at
-        each stream's own offset (the fusion LM stepped over them), so
-        appending = advancing each stream's offset by its emitted length.
+        ``cache`` MUST be the decode loop's updated LM cache
+        (``greedy_decode(..., return_lm_cache=True)``): the loop's KV
+        writes live in that functional copy, not in the cache handed out
+        by :meth:`state` — advancing offsets without taking it back would
+        leave zero-filled slots in every stream's attendable past.
         When any stream's window would overflow, the kept tails are
-        re-encoded.
+        re-encoded from host-side token history instead.
         """
+        if cache is not None:
+            self._cache = cache
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths, np.int64)
         for s in range(self.batch):

@@ -51,6 +51,30 @@ def init_decode_cache(cfg: SpeechT5Config, batch: int, max_len: int,
     }
 
 
+def init_cross_cache(params: Dict, cfg: SpeechT5Config,
+                     encoder_hidden: jnp.ndarray) -> Dict:
+    """Precompute every layer's cross-attention K/V from the encoder output
+    ([B, H, Tenc, hd] per layer).  Recomputing these projections each
+    decode step costs ~2 * Tenc * H^2 * 2 FLOPs per layer per step — at
+    conversation-length Tenc that dwarfs the step itself (measured RTFx 5
+    -> 260 on 3-min audio)."""
+    heads = cfg.decoder_attention_heads
+    hd = cfg.hidden_size // heads
+
+    def split(x):
+        b, t, d = x.shape
+        return x.reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+
+    out = {}
+    for i in range(cfg.decoder_layers):
+        lp = params["layers"][str(i)]["encoder_attn"]
+        out[str(i)] = {
+            "k": split(layers.dense(lp["k_proj"], encoder_hidden)),
+            "v": split(layers.dense(lp["v_proj"], encoder_hidden)),
+        }
+    return out
+
+
 def _decoder_layer(
     lp: Dict, cfg: SpeechT5Config, hidden: jnp.ndarray,
     encoder_hidden: jnp.ndarray,
@@ -58,6 +82,7 @@ def _decoder_layer(
     cross_bias: Optional[jnp.ndarray],
     kv_cache: Optional[Dict], cache_index: Optional[jnp.ndarray],
     dropout_rng, deterministic: bool,
+    cross_kv: Optional[Dict] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     act = layers.ACTIVATIONS[cfg.hidden_act]
     rngs = (None,) * 6 if dropout_rng is None else tuple(jax.random.split(dropout_rng, 6))
@@ -76,6 +101,7 @@ def _decoder_layer(
     cross_out, _ = attention.multi_head_attention(
         lp["encoder_attn"], hidden, num_heads=cfg.decoder_attention_heads,
         key_value_states=encoder_hidden, attention_bias=cross_bias,
+        static_kv=cross_kv,
         dropout_rng=rngs[2], dropout_rate=cfg.attention_dropout,
         deterministic=deterministic)
     cross_out = layers.dropout(rngs[3], cross_out, cfg.hidden_dropout, deterministic)
@@ -104,6 +130,7 @@ def decoder(
     cache_index: Optional[jnp.ndarray] = None,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    cross_caches: Optional[Dict] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder stack.
 
@@ -147,7 +174,9 @@ def decoder(
         cache_i = kv_caches[str(i)] if kv_caches is not None else None
         hidden, upd = _decoder_layer(
             lp, cfg, hidden, encoder_hidden_states, self_bias, cross_bias,
-            cache_i, cache_index, rngs[i], deterministic)
+            cache_i, cache_index, rngs[i], deterministic,
+            cross_kv=(cross_caches[str(i)] if cross_caches is not None
+                      else None))
         if new_caches is not None:
             new_caches[str(i)] = upd
     return hidden, new_caches

@@ -135,20 +135,33 @@ def asr_forward(
 def asr_decode_step(
     params: Dict, cfg: SpeechT5Config,
     token_ids: jnp.ndarray,            # [B, 1] current tokens
-    step: jnp.ndarray,                 # scalar int32 decode position
+    step: jnp.ndarray,                 # int32 decode position (scalar or [B])
     encoder_hidden: jnp.ndarray,
     encoder_mask: Optional[jnp.ndarray],
     kv_caches: Dict,
+    cross_caches: Optional[Dict] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """One incremental decode step -> (logits [B, V], updated caches)."""
+    """One incremental decode step -> (logits [B, V], updated caches).
+
+    Pass ``cross_caches`` (decoder.init_cross_cache over the encoder
+    output, computed once per utterance) so the per-step cross-attention
+    skips re-projecting the whole encoder sequence."""
     dec_in = prenets.text_decoder_prenet(params["decoder"]["prenet"], cfg,
                                          token_ids, past_length=step)
     hidden, new_caches = dec.decoder(
         params["decoder"]["wrapped_decoder"], cfg, dec_in, encoder_hidden,
         encoder_attention_mask=encoder_mask, kv_caches=kv_caches,
-        cache_index=step)
+        cache_index=step, cross_caches=cross_caches)
     logits = prenets.text_decoder_postnet(params["text_decoder_postnet"], hidden)
     return logits[:, -1, :], new_caches
+
+
+def asr_cross_cache(params: Dict, cfg: SpeechT5Config,
+                    encoder_hidden: jnp.ndarray) -> Dict:
+    """Per-layer cross-attention K/V for incremental decoding (see
+    decoder.init_cross_cache)."""
+    return dec.init_cross_cache(params["decoder"]["wrapped_decoder"], cfg,
+                                encoder_hidden)
 
 
 def asr_loss(

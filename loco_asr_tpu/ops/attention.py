@@ -56,6 +56,7 @@ def multi_head_attention(
     kv_valid_len: Optional[jnp.ndarray] = None,
     kv_cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_index: Optional[jnp.ndarray] = None,
+    static_kv: Optional[Dict[str, jnp.ndarray]] = None,
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     deterministic: bool = True,
@@ -91,13 +92,17 @@ def multi_head_attention(
     scale = head_dim ** -0.5
 
     q = layers.dense(params["q_proj"], hidden_states) * scale
-    kv_src = hidden_states if key_value_states is None else key_value_states
-    k = layers.dense(params["k_proj"], kv_src)
-    v = layers.dense(params["v_proj"], kv_src)
-
     q = _split_heads(q, num_heads)  # [B,H,Tq,hd]
-    k = _split_heads(k, num_heads)
-    v = _split_heads(v, num_heads)
+    if static_kv is not None:
+        # precomputed cross-attention keys/values ([B, H, Tk, hd], see
+        # models/speecht5/decoder.init_cross_cache) — recomputing the K/V
+        # projections of a long encoder sequence EVERY decode step costs
+        # more than the whole rest of the step
+        k, v = static_kv["k"], static_kv["v"]
+    else:
+        kv_src = hidden_states if key_value_states is None else key_value_states
+        k = _split_heads(layers.dense(params["k_proj"], kv_src), num_heads)
+        v = _split_heads(layers.dense(params["v_proj"], kv_src), num_heads)
 
     new_cache = None
     if kv_cache is not None:

@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--lm_weight", type=float, default=0.3)
     p.add_argument("--max_decode_len", type=int, default=200)
     p.add_argument("--batch_seconds", type=float, default=20.0)
+    p.add_argument("--attn_impl", choices=["dense", "flash"], default="dense",
+                   help="'flash' = banded rel-pos Pallas kernel; lets "
+                        "--batch_seconds reach the minutes range (dense "
+                        "OOMs past ~2.7 min of frames)")
     p.add_argument("--tiny", action="store_true", help="tiny ASR config (smoke)")
     p.add_argument("--limit_episodes", type=int, default=None)
     return p.parse_args(argv)
@@ -83,7 +87,8 @@ def main(argv=None) -> int:
         out = transcribe_long_audio(
             params, cfg, wav, sr, segments=segments, fusion=fusion,
             max_decode_len=args.max_decode_len,
-            batch_seconds=args.batch_seconds, tokenizer=tokenizer)
+            batch_seconds=args.batch_seconds, tokenizer=tokenizer,
+            attn_impl=args.attn_impl)
         path = os.path.join(args.out_dir, f"{ep.episode_id}.jsonl")
         with open(path, "w", encoding="utf-8") as f:
             for seg in out:

@@ -193,3 +193,49 @@ def test_context_append_tracks_per_stream_offsets():
     _, start = ctx.state()
     np.testing.assert_array_equal(np.asarray(start), [6, 2])
     assert ctx.history_len == 6
+
+
+def test_carryover_cache_contains_decoded_kv(asr):
+    """REGRESSION: greedy_decode must hand back its updated LM cache
+    (return_lm_cache=True) and ConversationContext.append must keep it —
+    the original code discarded the loop's KV writes, so utterance n+1
+    attended ZERO-filled slots for utterance n's positions."""
+    params, cfg, enc, mask = asr
+    enc1, mask1 = enc[:1], mask[:1] if mask is not None else None
+    lm_cfg = g.tiny_gpt2_config(vocab_size=cfg.vocab_size, n_positions=64)
+    lm = FusionLM(g.gpt2_init(jax.random.PRNGKey(3), lm_cfg), lm_cfg,
+                  weight=1.0)
+    P = 64
+
+    ctx = ConversationContext(lm, batch=1, max_positions=P,
+                              decode_reserve=16)
+    cache, off = ctx.state()
+    toks1, lens1, cache = greedy_decode(params, cfg, enc1, mask1, max_len=8,
+                                        fusion=lm, lm_cache=cache,
+                                        lm_start=off, return_lm_cache=True)
+    ctx.append(toks1, lens1, cache)
+    cache2, off2 = ctx.state()
+    toks2, _, _ = greedy_decode(params, cfg, enc1, mask1, max_len=8,
+                                fusion=lm, lm_cache=cache2, lm_start=off2,
+                                return_lm_cache=True)
+
+    # oracle: replay exactly what the decode loop fed the LM —
+    # [decoder_start, out[0], ..., out[L-2]] at positions 0..L-1
+    L1 = int(np.asarray(lens1)[0])
+    fed = np.concatenate([[cfg.decoder_start_token_id],
+                          np.asarray(toks1)[0, : L1 - 1]]).astype(np.int32)
+    mcache = lm.init_cache(1, P)
+    for t in range(L1):
+        _, mcache = lm.step(jnp.asarray(fed[None, t:t + 1]),
+                            jnp.asarray([t], jnp.int32), mcache)
+    toks2_m, _ = greedy_decode(params, cfg, enc1, mask1, max_len=8,
+                               fusion=lm, lm_cache=mcache,
+                               lm_start=jnp.asarray([L1], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(toks2), np.asarray(toks2_m))
+
+    # and the kept cache is NOT the zero-filled original (the bug's state)
+    zero_like = lm.init_cache(1, P)
+    diff = max(float(jnp.abs(a - b).max()) for a, b in
+               zip(jax.tree_util.tree_leaves(cache2),
+                   jax.tree_util.tree_leaves(zero_like)))
+    assert diff > 0.0

@@ -107,3 +107,21 @@ def test_transcribe_long_audio_with_context():
     for s in segs:
         assert s.end > s.start
         assert all(isinstance(t, int) for t in s.token_ids)
+
+
+def test_transcribe_long_audio_flash_matches_dense():
+    """attn_impl='flash' (banded rel-pos kernel, interpret mode on CPU)
+    must transcribe identically to the dense encoder."""
+    cfg = tiny_config(apply_spec_augment=False, mask_time_prob=0.0)
+    params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+
+    sr = 16000
+    rng = np.random.default_rng(3)
+    sil = np.zeros(sr // 2, np.float32)
+    sp = lambda: (rng.standard_normal(sr // 2) * 0.3).astype(np.float32)
+    wav = np.concatenate([sil, sp(), sil, sp(), sil])
+
+    dense = transcribe_long_audio(params, cfg, wav, sr, max_decode_len=6)
+    flash = transcribe_long_audio(params, cfg, wav, sr, max_decode_len=6,
+                                  attn_impl="flash")
+    assert [s.token_ids for s in flash] == [s.token_ids for s in dense]
