@@ -311,6 +311,8 @@ def tts_generate(
     mel = cfg.num_mel_bins
 
     caches = dec.init_decode_cache(cfg, b, maxlen + 1, encoder_hidden.dtype)
+    cross = dec.init_cross_cache(params["decoder"]["wrapped_decoder"], cfg,
+                                 encoder_hidden)   # once, not per AR step
     spec_buf = jnp.zeros((b, maxlen * r, mel), encoder_hidden.dtype)
 
     def body(state):
@@ -324,7 +326,7 @@ def tts_generate(
         hidden, caches = dec.decoder(
             params["decoder"]["wrapped_decoder"], cfg, dec_in[:, None, :],
             encoder_hidden, encoder_attention_mask=attention_mask,
-            kv_caches=caches, cache_index=idx)
+            kv_caches=caches, cache_index=idx, cross_caches=cross)
         last = hidden[:, 0]                                   # [B, H]
         spectrum = layers.dense(params["speech_decoder_postnet"]["feat_out"],
                                 last).reshape(b, r, mel)
