@@ -151,7 +151,7 @@ def _beam_init_slots(cfg: SpeechT5Config, slots: int, k: int, enc_frames: int,
 
 def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
                       sel: jnp.ndarray, enc_new: jnp.ndarray,
-                      mask_new: jnp.ndarray) -> BeamSlotState:
+                      mask_new: jnp.ndarray, lm_cache: Optional[Dict] = None):
     """Admit new utterances into the selected slots (sel: [S] bool;
     enc_new/mask_new are [S, ...], tiled over the slot's K beams)."""
     s = sel.shape[0]
@@ -162,7 +162,9 @@ def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
     init_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1),
                                        jnp.float32)[None], (s, 1))
     s1, s2 = sel[:, None], sel[:, None, None]
-    return BeamSlotState(
+    if lm_cache is not None:
+        lm_cache = jax.tree_util.tree_map(zero, lm_cache)
+    new = BeamSlotState(
         enc=jnp.where(sel_flat[:, None, None], enc_t, state.enc),
         enc_mask=jnp.where(sel_flat[:, None], mask_t, state.enc_mask),
         caches=jax.tree_util.tree_map(zero, state.caches),
@@ -173,25 +175,36 @@ def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
         done=jnp.where(s1, False, state.done),
         last=jnp.where(s1, cfg.decoder_start_token_id, state.last),
     )
+    if lm_cache is None:
+        return new
+    return new, lm_cache
 
 
 def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
-                    max_len: int, state: BeamSlotState) -> BeamSlotState:
+                    max_len: int, state: BeamSlotState, fusion=None,
+                    lm_cache: Optional[Dict] = None):
     """``n_steps`` beam steps over all slots (all-done slots inert) —
-    the per-step math of decode/beam.beam_search with per-slot offsets."""
+    the per-step math of decode/beam.beam_search with per-slot offsets.
+    With ``fusion``, the LM cache is beam-flat ([S*K, ...]) and reordered
+    by parent beam each step, exactly as static beam_search does."""
     s = state.step.shape[0]
     v = cfg.vocab_size
     pad_onehot = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
     rows, cols = jnp.arange(s), jnp.arange(k)
     cross = st5.asr_cross_cache(params, cfg, state.enc)  # loop-invariant
 
-    def body(_, st: BeamSlotState) -> BeamSlotState:
+    def body(_, carry):
+        st, lmc = carry
         slot_done = jnp.all(st.done, axis=1)                       # [S]
         step_flat = jnp.repeat(st.step, k)                         # [S*K]
         logits, caches = st5.asr_decode_step(
             params, cfg, st.last.reshape(s * k, 1), step_flat,
             st.enc, st.enc_mask, st.caches, cross_caches=cross)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        if fusion is not None:
+            lm_logp, lmc = fusion.step(st.last.reshape(s * k, 1),
+                                       step_flat, lmc)
+            logp = logp + lm_logp
         logp = logp.reshape(s, k, v)
         logp = jnp.where(st.done[..., None], pad_onehot[None, None], logp)
 
@@ -215,6 +228,8 @@ def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
         flat_idx = (rows[:, None] * k + parent).reshape(-1)
         reorder = lambda x: jnp.take(x, flat_idx, axis=0)
         caches = jax.tree_util.tree_map(reorder, caches)
+        if fusion is not None:
+            lmc = jax.tree_util.tree_map(reorder, lmc)
 
         step = jnp.where(slot_done, st.step, st.step + 1)
         done = done | (step >= max_len)[:, None]
@@ -224,15 +239,18 @@ def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
         keep_flat = lambda new, old: jnp.where(
             jnp.repeat(slot_done, k).reshape((s * k,) + (1,) * (new.ndim - 1)),
             old, new)
-        return BeamSlotState(
+        if fusion is not None:
+            lmc = jax.tree_util.tree_map(keep_flat, lmc, carry[1])
+        return (BeamSlotState(
             st.enc, st.enc_mask,
             jax.tree_util.tree_map(keep_flat, caches, st.caches),
             step,
             keep(tokens, st.tokens), keep(top_scores, st.scores),
             keep(lengths, st.lengths), keep(done, st.done),
-            keep(tok, st.last))
+            keep(tok, st.last)), lmc)
 
-    return jax.lax.fori_loop(0, n_steps, body, state)
+    state, lm_cache = jax.lax.fori_loop(0, n_steps, body, (state, lm_cache))
+    return (state, lm_cache) if fusion is not None else state
 
 
 def _cfg_key(cfg: SpeechT5Config) -> tuple:
@@ -243,15 +261,32 @@ def _cfg_key(cfg: SpeechT5Config) -> tuple:
 
 
 @functools.lru_cache(maxsize=8)
-def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int):
+def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int,
+                  lm_key: Optional[tuple] = None, lm_weight: float = 0.3):
+    from ..models.gpt2.model import GPT2Config
+    from .fusion import FusionLM
+
     cfg = SpeechT5Config(**dict(cfg_key))
+    if lm_key is None:
+        insert = jax.jit(
+            lambda state, sel, enc_new, mask_new: _beam_insert_many(
+                cfg, k, state, sel, enc_new, mask_new), donate_argnums=(0,))
+        chunk = jax.jit(
+            lambda params, state: _beam_run_chunk(cfg, params, k, chunk_steps,
+                                                  max_len, state),
+            donate_argnums=(1,))
+        return insert, chunk
+    lm_cfg = GPT2Config(**dict(lm_key))
     insert = jax.jit(
-        lambda state, sel, enc_new, mask_new: _beam_insert_many(
-            cfg, k, state, sel, enc_new, mask_new), donate_argnums=(0,))
+        lambda state, sel, enc_new, mask_new, lm_cache: _beam_insert_many(
+            cfg, k, state, sel, enc_new, mask_new, lm_cache),
+        donate_argnums=(0, 4))
     chunk = jax.jit(
-        lambda params, state: _beam_run_chunk(cfg, params, k, chunk_steps,
-                                              max_len, state),
-        donate_argnums=(1,))
+        lambda params, lm_params, state, lm_cache: _beam_run_chunk(
+            cfg, params, k, chunk_steps, max_len, state,
+            fusion=FusionLM(lm_params, lm_cfg, weight=lm_weight),
+            lm_cache=lm_cache),
+        donate_argnums=(2, 3))
     return insert, chunk
 
 
@@ -262,6 +297,7 @@ def decode_continuous_beam(
     max_len: int = 100, length_penalty: float = 1.0,
     audio_samples: Optional[int] = None,
     encode_fn: Optional[Callable] = None,
+    fusion=None,
 ) -> Dict[str, Tuple[np.ndarray, int]]:
     """Beam-search with continuous batching: like :func:`decode_continuous`
     but each slot runs ``beam_size`` beams; a slot is refilled once ALL its
@@ -284,19 +320,26 @@ def decode_continuous_beam(
                              f"{audio_samples}")
     if encode_fn is None:
         encode_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
-    insert_fn, chunk_fn = _beam_jit_fns(_cfg_key(cfg), beam_size,
-                                        chunk_steps, max_len)
+    if fusion is None:
+        insert_fn, chunk_fn = _beam_jit_fns(_cfg_key(cfg), beam_size,
+                                            chunk_steps, max_len)
+    else:
+        insert_fn, chunk_fn = _beam_jit_fns(_cfg_key(cfg), beam_size,
+                                            chunk_steps, max_len,
+                                            _cfg_key(fusion.cfg),
+                                            fusion.weight)
 
     slot_owner: List[Optional[str]] = [None] * slots
     results: Dict[str, Tuple[np.ndarray, int]] = {}
     queue = list(reversed(utts))
     state: Optional[BeamSlotState] = None
+    lm_cache: Optional[Dict] = None
 
-    def admit(state: Optional[BeamSlotState]) -> Optional[BeamSlotState]:
+    def admit(state, lm_cache):
         free = [i for i in range(slots) if slot_owner[i] is None]
         take = min(len(free), len(queue))
         if take == 0:
-            return state
+            return state, lm_cache
         w = np.zeros((slots, audio_samples), np.float32)
         m = np.zeros((slots, audio_samples), np.int32)
         sel = np.zeros((slots,), bool)
@@ -310,11 +353,18 @@ def decode_continuous_beam(
         if state is None:
             state = _beam_init_slots(cfg, slots, beam_size, enc.shape[1],
                                      max_len, enc.dtype)
-        return insert_fn(state, jnp.asarray(sel), enc, enc_mask)
+            if fusion is not None:
+                lm_cache = fusion.init_cache(slots * beam_size, max_len + 1)
+        if fusion is None:
+            return insert_fn(state, jnp.asarray(sel), enc, enc_mask), None
+        return insert_fn(state, jnp.asarray(sel), enc, enc_mask, lm_cache)
 
-    state = admit(state)
+    state, lm_cache = admit(state, lm_cache)
     while any(o is not None for o in slot_owner):
-        state = chunk_fn(params, state)
+        if fusion is None:
+            state = chunk_fn(params, state)
+        else:
+            state, lm_cache = chunk_fn(params, fusion.params, state, lm_cache)
         done = np.asarray(state.done)                # one host sync per chunk
         slot_done = done.all(axis=1)
         if any(slot_done[i] for i in range(slots)
@@ -331,7 +381,7 @@ def decode_continuous_beam(
                 toks = tokens[i, best]
                 results[slot_owner[i]] = (toks, int(lengths[i, best]))
                 slot_owner[i] = None
-            state = admit(state)
+            state, lm_cache = admit(state, lm_cache)
     return results
 
 

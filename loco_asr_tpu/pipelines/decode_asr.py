@@ -131,9 +131,6 @@ def main(argv=None) -> int:
     if args.continuous:
         from ..decode.batcher import decode_continuous, decode_continuous_beam
 
-        if fusion is not None and args.beam_size > 1:
-            raise SystemExit("--continuous beam does not support LM fusion "
-                             "yet (use static batching or greedy)")
         utts, text_by_id = [], {}
         for bi, batch in enumerate(ds.batches(
                 tokenizer, args.batch_size, max_seconds=args.max_seconds,
@@ -153,7 +150,7 @@ def main(argv=None) -> int:
                 beam_size=args.beam_size, max_len=args.max_decode_len,
                 length_penalty=args.length_penalty,
                 audio_samples=int(args.max_seconds * 16000),
-                encode_fn=enc_fn)
+                encode_fn=enc_fn, fusion=fusion)
         else:
             results = decode_continuous(
                 params, cfg, utts, slots=args.batch_size,

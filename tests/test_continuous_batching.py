@@ -145,3 +145,36 @@ def test_fusion_continuous_matches_per_utterance(setup):
         assert got_len == int(np.asarray(lens)[0]), uid
         np.testing.assert_array_equal(got_toks, np.asarray(toks)[0],
                                       err_msg=uid)
+
+
+def test_beam_fusion_continuous_matches_per_utterance(setup):
+    """Beam + LM fusion in the continuous batcher == per-utterance
+    beam_search(fusion=...) — the beam-flat LM cache must reorder by
+    parent beam in lockstep with the decoder cache."""
+    from loco_asr_tpu.decode.beam import beam_search
+    from loco_asr_tpu.decode.fusion import FusionLM
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg, params, utts = setup
+    lm_cfg = g.tiny_gpt2_config(vocab_size=cfg.vocab_size, n_positions=32,
+                                n_embd=16, n_head=2)
+    fusion = FusionLM(g.gpt2_init(jax.random.PRNGKey(9), lm_cfg), lm_cfg,
+                      weight=0.5)
+    max_len, bucket, k = 9, 3200, 2
+    results = batcher.decode_continuous_beam(
+        params, cfg, utts, slots=2, beam_size=k, chunk_steps=3,
+        max_len=max_len, audio_samples=bucket, fusion=fusion)
+    assert set(results) == {u for u, _ in utts}
+    for uid, wav in utts:
+        w = np.zeros((1, bucket), np.float32)
+        w[0, : len(wav)] = wav
+        m = np.zeros((1, bucket), np.int32)
+        m[0, : len(wav)] = 1
+        enc, mask = st5.encode_speech(params, cfg, jnp.asarray(w),
+                                      jnp.asarray(m))
+        hyp = beam_search(params, cfg, enc, mask, beam_size=k,
+                          max_len=max_len, fusion=fusion)
+        toks, length = results[uid]
+        assert length == int(np.asarray(hyp.lengths)[0, 0]), uid
+        np.testing.assert_array_equal(
+            toks, np.asarray(hyp.tokens)[0, 0], err_msg=uid)
