@@ -60,11 +60,17 @@ def init_slots(cfg: SpeechT5Config, slots: int, enc_frames: int,
 
 def _insert_many(cfg: SpeechT5Config, state: SlotState, sel: jnp.ndarray,
                  enc_new: jnp.ndarray, mask_new: jnp.ndarray,
-                 lm_cache: Optional[Dict] = None):
+                 lm_cache: Optional[Dict] = None,
+                 keep_lm: Optional[jnp.ndarray] = None):
     """Admit utterances into every slot with ``sel[s]`` True, all at once
     (fresh step/cache/output).  ``enc_new``/``mask_new`` are full [S, ...]
     arrays whose unselected rows are ignored — one encode call and ONE
-    device round-trip admits a whole batch of streams."""
+    device round-trip admits a whole batch of streams.
+
+    ``keep_lm`` [S] bool: slots whose LM cache survives the admission
+    (conversation carry-over — the stream's next utterance conditions on
+    its accumulated history; decode/context.py semantics).  Decoder caches
+    always reset (each utterance decodes from scratch)."""
     s1 = sel[:, None]
     zero = lambda c: jnp.where(sel[:, None, None, None], 0.0, c)
     new = SlotState(
@@ -78,14 +84,24 @@ def _insert_many(cfg: SpeechT5Config, state: SlotState, sel: jnp.ndarray,
     )
     if lm_cache is None:
         return new
-    return new, jax.tree_util.tree_map(zero, lm_cache)
+    lm_sel = sel if keep_lm is None else (sel & ~keep_lm)
+    zero_lm = lambda c: jnp.where(lm_sel[:, None, None, None], 0.0, c)
+    return new, jax.tree_util.tree_map(zero_lm, lm_cache)
 
 
 def _run_chunk(cfg: SpeechT5Config, params: Dict, n_steps: int, max_len: int,
-               state: SlotState, fusion=None, lm_cache: Optional[Dict] = None):
+               state: SlotState, fusion=None, lm_cache: Optional[Dict] = None,
+               lm_off: Optional[jnp.ndarray] = None, freeze_lm: bool = False):
     """``n_steps`` greedy decode steps over all slots (done slots inert).
     With ``fusion`` (a FusionLM whose params ride in fusion.params), the LM
-    scores each step at the slot's own offset (vector cache_index)."""
+    scores each step at the slot's own offset (vector cache_index).
+
+    ``lm_off`` [S]: per-slot LM history offsets (conversation carry-over);
+    LM positions become ``lm_off + step``.  ``freeze_lm``: discard the LM
+    cache update of slots already done at the top of a step — required for
+    carry-over, where a post-EOS write would pollute the position the
+    NEXT utterance's first token must land on (greedy_decode's while_loop
+    exits before any such write in the B=1 sequential reference)."""
     s = state.step.shape[0]
     rows = jnp.arange(s)
     # cross-attention K/V once per chunk (loop-invariant; recomputing the
@@ -99,7 +115,15 @@ def _run_chunk(cfg: SpeechT5Config, params: Dict, n_steps: int, max_len: int,
             cross_caches=cross)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if fusion is not None:
-            lm_logp, lmc = fusion.step(st.last, st.step, lmc)
+            pos = st.step if lm_off is None else lm_off + st.step
+            lm_logp, lmc_new = fusion.step(st.last, pos, lmc)
+            if freeze_lm:
+                was_done = st.done
+                lmc_new = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        was_done.reshape((s,) + (1,) * (n.ndim - 1)), o, n),
+                    lmc_new, lmc)
+            lmc = lmc_new
             logp = logp + lm_logp
         nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         nxt = jnp.where(st.done, cfg.pad_token_id, nxt)
@@ -260,6 +284,39 @@ def _cfg_key(cfg: SpeechT5Config) -> tuple:
         for k, v in dataclasses.asdict(cfg).items()))
 
 
+def _admission_bucket(n: int, slots: int) -> int:
+    """Round the admission count up to a power of two (capped at
+    ``slots``): encoding only the newly admitted rows instead of the full
+    [slots, T] batch removes the dominant wasted-FLOPs term at high slot
+    churn (refilling ONE slot used to re-encode all of them), while the
+    pow-2 bucket keeps the compiled-program count at log2(slots)+1."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, slots)
+
+
+def _encode_pending(encode_fn, params, pending, slots: int,
+                    audio_samples: int):
+    """Encode the admission round's utterances in a [bucket, T] batch and
+    return (sel [S], inv_map [S], enc_small, mask_small).  ``pending`` is
+    a list of (slot, waveform) pairs; ``inv_map[slot]`` indexes the row of
+    enc_small carrying that slot's utterance (unselected slots point at
+    row 0 and are masked off by ``sel`` inside the insert program)."""
+    bucket = _admission_bucket(len(pending), slots)
+    w = np.zeros((bucket, audio_samples), np.float32)
+    m = np.zeros((bucket, audio_samples), np.int32)
+    sel = np.zeros((slots,), bool)
+    inv = np.zeros((slots,), np.int32)
+    for r, (slot, wav) in enumerate(pending):
+        w[r, : len(wav)] = wav
+        m[r, : len(wav)] = 1
+        sel[slot] = True
+        inv[slot] = r
+    enc, mask = encode_fn(params, jnp.asarray(w), jnp.asarray(m))
+    return jnp.asarray(sel), jnp.asarray(inv), enc, mask
+
+
 @functools.lru_cache(maxsize=8)
 def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int,
                   lm_key: Optional[tuple] = None, lm_weight: float = 0.3):
@@ -267,10 +324,12 @@ def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int,
     from .fusion import FusionLM
 
     cfg = SpeechT5Config(**dict(cfg_key))
+    gather = lambda x, inv: jnp.take(x, inv, axis=0)   # [A,...] -> [S,...]
     if lm_key is None:
         insert = jax.jit(
-            lambda state, sel, enc_new, mask_new: _beam_insert_many(
-                cfg, k, state, sel, enc_new, mask_new), donate_argnums=(0,))
+            lambda state, sel, inv, enc_s, mask_s: _beam_insert_many(
+                cfg, k, state, sel, gather(enc_s, inv), gather(mask_s, inv)),
+            donate_argnums=(0,))
         chunk = jax.jit(
             lambda params, state: _beam_run_chunk(cfg, params, k, chunk_steps,
                                                   max_len, state),
@@ -278,9 +337,10 @@ def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int,
         return insert, chunk
     lm_cfg = GPT2Config(**dict(lm_key))
     insert = jax.jit(
-        lambda state, sel, enc_new, mask_new, lm_cache: _beam_insert_many(
-            cfg, k, state, sel, enc_new, mask_new, lm_cache),
-        donate_argnums=(0, 4))
+        lambda state, sel, inv, enc_s, mask_s, lm_cache: _beam_insert_many(
+            cfg, k, state, sel, gather(enc_s, inv), gather(mask_s, inv),
+            lm_cache),
+        donate_argnums=(0, 5))
     chunk = jax.jit(
         lambda params, lm_params, state, lm_cache: _beam_run_chunk(
             cfg, params, k, chunk_steps, max_len, state,
@@ -340,24 +400,21 @@ def decode_continuous_beam(
         take = min(len(free), len(queue))
         if take == 0:
             return state, lm_cache
-        w = np.zeros((slots, audio_samples), np.float32)
-        m = np.zeros((slots, audio_samples), np.int32)
-        sel = np.zeros((slots,), bool)
+        pending = []
         for slot in free[:take]:
             uid, wav = queue.pop()
-            w[slot, : len(wav)] = wav
-            m[slot, : len(wav)] = 1
-            sel[slot] = True
             slot_owner[slot] = uid
-        enc, enc_mask = encode_fn(params, jnp.asarray(w), jnp.asarray(m))
+            pending.append((slot, wav))
+        sel, inv, enc, enc_mask = _encode_pending(
+            encode_fn, params, pending, slots, audio_samples)
         if state is None:
             state = _beam_init_slots(cfg, slots, beam_size, enc.shape[1],
                                      max_len, enc.dtype)
             if fusion is not None:
                 lm_cache = fusion.init_cache(slots * beam_size, max_len + 1)
         if fusion is None:
-            return insert_fn(state, jnp.asarray(sel), enc, enc_mask), None
-        return insert_fn(state, jnp.asarray(sel), enc, enc_mask, lm_cache)
+            return insert_fn(state, sel, inv, enc, enc_mask), None
+        return insert_fn(state, sel, inv, enc, enc_mask, lm_cache)
 
     state, lm_cache = admit(state, lm_cache)
     while any(o is not None for o in slot_owner):
@@ -397,10 +454,12 @@ def _jit_fns(cfg_key: tuple, chunk_steps: int, max_len: int,
     from .fusion import FusionLM
 
     cfg = SpeechT5Config(**dict(cfg_key))
+    gather = lambda x, inv: jnp.take(x, inv, axis=0)   # [A,...] -> [S,...]
     if lm_key is None:
         insert = jax.jit(
-            lambda state, sel, enc_new, mask_new: _insert_many(
-                cfg, state, sel, enc_new, mask_new), donate_argnums=(0,))
+            lambda state, sel, inv, enc_s, mask_s: _insert_many(
+                cfg, state, sel, gather(enc_s, inv), gather(mask_s, inv)),
+            donate_argnums=(0,))
         chunk = jax.jit(
             lambda params, state: _run_chunk(cfg, params, chunk_steps,
                                              max_len, state),
@@ -408,9 +467,10 @@ def _jit_fns(cfg_key: tuple, chunk_steps: int, max_len: int,
         return insert, chunk
     lm_cfg = GPT2Config(**dict(lm_key))
     insert = jax.jit(
-        lambda state, sel, enc_new, mask_new, lm_cache: _insert_many(
-            cfg, state, sel, enc_new, mask_new, lm_cache),
-        donate_argnums=(0, 4))
+        lambda state, sel, inv, enc_s, mask_s, lm_cache: _insert_many(
+            cfg, state, sel, gather(enc_s, inv), gather(mask_s, inv),
+            lm_cache),
+        donate_argnums=(0, 5))
     chunk = jax.jit(
         lambda params, lm_params, state, lm_cache: _run_chunk(
             cfg, params, chunk_steps, max_len, state,
@@ -439,11 +499,11 @@ def decode_continuous(
         first pull; longer ones are an error, so pass the bucket size).
       slots: device decode slots (the fixed batch dimension).
       chunk_steps: decode steps per host round-trip.
-      encode_fn: optional (params, wav [S, T], mask) -> (enc, enc_mask) to
-        override the standard encoder (e.g. a sharded one).  Admissions
-        are encoded in full [slots, T] batches (one call per admission
-        round), so this shares its compilation with static decoding at
-        the same batch size.
+      encode_fn: optional (params, wav [A, T], mask) -> (enc, enc_mask) to
+        override the standard encoder (e.g. a sharded one).  Each
+        admission round encodes ONLY the admitted utterances, with the
+        batch dim rounded up to a power of two (<= slots) so at most
+        log2(slots)+1 encoder programs ever compile.
 
     Returns {utt_id: (tokens [<=max_len], length)} — same tokens as
     per-utterance ``greedy_decode``.
@@ -477,24 +537,23 @@ def decode_continuous(
         take = min(len(free), len(queue))
         if take == 0:
             return state, lm_cache
-        # one [slots, T] encode + ONE vectorized insert per admission round
-        w = np.zeros((slots, audio_samples), np.float32)
-        m = np.zeros((slots, audio_samples), np.int32)
-        sel = np.zeros((slots,), bool)
+        # encode ONLY the admitted rows (pow-2 bucket) + one vectorized
+        # insert per admission round — refilling one slot no longer
+        # re-encodes the whole [slots, T] batch
+        pending = []
         for slot in free[:take]:
             uid, wav = queue.pop()
-            w[slot, : len(wav)] = wav
-            m[slot, : len(wav)] = 1
-            sel[slot] = True
             slot_owner[slot] = uid
-        enc, enc_mask = encode_fn(params, jnp.asarray(w), jnp.asarray(m))
+            pending.append((slot, wav))
+        sel, inv, enc, enc_mask = _encode_pending(
+            encode_fn, params, pending, slots, audio_samples)
         if state is None:
             state = init_slots(cfg, slots, enc.shape[1], max_len, enc.dtype)
             if fusion is not None:
                 lm_cache = fusion.init_cache(slots, max_len + 1)
         if fusion is None:
-            return insert_fn(state, jnp.asarray(sel), enc, enc_mask), None
-        return insert_fn(state, jnp.asarray(sel), enc, enc_mask, lm_cache)
+            return insert_fn(state, sel, inv, enc, enc_mask), None
+        return insert_fn(state, sel, inv, enc, enc_mask, lm_cache)
 
     state, lm_cache = admit(state, lm_cache)
     while any(o is not None for o in slot_owner):
@@ -513,4 +572,174 @@ def decode_continuous(
                     results[slot_owner[i]] = (toks, length)
                     slot_owner[i] = None
             state, lm_cache = admit(state, lm_cache)
+    return results
+
+
+@functools.lru_cache(maxsize=8)
+def _conv_jit_fns(cfg_key: tuple, chunk_steps: int, max_len: int,
+                  lm_key: tuple, lm_weight: float):
+    """jit'd insert/chunk/scatter programs for conversation carry-over:
+    the chunk runs with per-slot LM offsets + done-slot LM freezing, the
+    insert preserves LM rows of continuing streams, the scatter replaces
+    one slot's LM cache row (rolling-window refresh)."""
+    from ..models.gpt2.model import GPT2Config
+    from .fusion import FusionLM
+
+    cfg = SpeechT5Config(**dict(cfg_key))
+    lm_cfg = GPT2Config(**dict(lm_key))
+    gather = lambda x, inv: jnp.take(x, inv, axis=0)   # [A,...] -> [S,...]
+    insert = jax.jit(
+        lambda state, sel, inv, keep_lm, enc_s, mask_s, lm_cache:
+        _insert_many(cfg, state, sel, gather(enc_s, inv),
+                     gather(mask_s, inv), lm_cache, keep_lm=keep_lm),
+        donate_argnums=(0, 6))
+    chunk = jax.jit(
+        lambda params, lm_params, state, lm_cache, lm_off: _run_chunk(
+            cfg, params, chunk_steps, max_len, state,
+            fusion=FusionLM(lm_params, lm_cfg, weight=lm_weight),
+            lm_cache=lm_cache, lm_off=lm_off, freeze_lm=True),
+        donate_argnums=(2, 3))
+    scatter = jax.jit(
+        lambda lm_cache, row, slot: jax.tree_util.tree_map(
+            lambda c, r: jax.lax.dynamic_update_slice(
+                c, r.astype(c.dtype), (slot,) + (0,) * (c.ndim - 1)),
+            lm_cache, row),
+        donate_argnums=(0,))
+    return insert, chunk, scatter
+
+
+def decode_conversations(
+    params: Dict, cfg: SpeechT5Config,
+    conversations: Iterable[Tuple[str, List[np.ndarray]]],
+    *, fusion, slots: int = 4, chunk_steps: int = 16, max_len: int = 100,
+    audio_samples: Optional[int] = None,
+    encode_fn: Optional[Callable] = None,
+    max_positions: Optional[int] = None,
+    decode_reserve: int = 128,
+) -> Dict[str, List[Tuple[np.ndarray, int]]]:
+    """Continuous batching over CONVERSATION STREAMS with LM carry-over:
+    slot = conversation; the fusion LM's KV cache persists across that
+    stream's utterances, so utterance n is scored conditioned on
+    utterances 1..n-1 (the serving form of the reference's
+    conversation-stream semantics, lms/src/utils.py:108-139; BASELINE
+    config 5).  Different conversations interleave across slots; a slot is
+    pinned to its conversation until the last utterance finishes, then
+    refilled with the next conversation (LM state fully reset).
+
+    Rolling window: per-slot history beyond ``max_positions -
+    decode_reserve`` triggers the decode/context.py refresh (drop the
+    oldest half, re-prime the kept tail) on that slot alone.
+
+    Numerics contract (tests/test_conversation_batching.py): per
+    conversation, tokens are EXACTLY those of greedy_decode +
+    ConversationContext(batch=1) run sequentially on that conversation.
+
+    Returns {conv_id: [(tokens [max_len], length), ...] per utterance}.
+    """
+    if fusion is None:
+        raise ValueError("conversation carry-over requires a fusion LM — "
+                         "the carried state IS the LM context")
+    convs = [(cid, list(wavs)) for cid, wavs in conversations]
+    if not convs:
+        return {}
+    max_positions = max_positions or fusion.cfg.n_positions
+    if decode_reserve < max_len + 1:
+        raise ValueError(
+            f"decode_reserve={decode_reserve} must be >= max_len+1="
+            f"{max_len + 1}: an utterance admitted at the window edge "
+            f"writes up to max_len LM positions past its offset")
+    if audio_samples is None:
+        audio_samples = max(len(w) for _, wavs in convs for w in wavs)
+    for cid, wavs in convs:
+        for w in wavs:
+            if len(w) > audio_samples:
+                raise ValueError(f"{cid}: {len(w)} samples > bucket "
+                                 f"{audio_samples}")
+    if encode_fn is None:
+        encode_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+    insert_fn, chunk_fn, scatter_fn = _conv_jit_fns(
+        _cfg_key(cfg), chunk_steps, max_len, _cfg_key(fusion.cfg),
+        fusion.weight)
+
+    queue = list(reversed(convs))              # pop() yields arrival order
+    slot_conv: List[Optional[str]] = [None] * slots
+    slot_wavs: List[Optional[list]] = [None] * slots
+    slot_hist: List[list] = [[] for _ in range(slots)]
+    lm_off = np.zeros((slots,), np.int32)
+    results: Dict[str, List[Tuple[np.ndarray, int]]] = \
+        {cid: [] for cid, _ in convs}
+    state: Optional[SlotState] = None
+    lm_cache: Optional[Dict] = None
+
+    def start_next_conversation(i, pending):
+        if queue:
+            cid, wavs = queue.pop()
+            slot_conv[i] = cid
+            slot_wavs[i] = list(reversed(wavs))
+            slot_hist[i] = []
+            lm_off[i] = 0
+            pending.append((i, slot_wavs[i].pop(), False))
+
+    def admit(state, lm_cache, pending):
+        if not pending:
+            return state, lm_cache
+        keep = np.zeros((slots,), bool)
+        for i, _, k in pending:
+            keep[i] = k
+        sel, inv, enc, enc_mask = _encode_pending(
+            encode_fn, params, [(i, wav) for i, wav, _ in pending],
+            slots, audio_samples)
+        if state is None:
+            state = init_slots(cfg, slots, enc.shape[1], max_len, enc.dtype)
+            lm_cache = fusion.init_cache(slots, max_positions)
+        return insert_fn(state, sel, inv, jnp.asarray(keep),
+                         enc, enc_mask, lm_cache)
+
+    def refresh_slot(i, lm_cache):
+        """decode/context.py _refresh, scoped to one slot: drop the oldest
+        half of the stream's history, re-prime the kept tail into a fresh
+        cache row."""
+        hist = (np.concatenate(slot_hist[i]) if slot_hist[i]
+                else np.zeros((0,), np.int32))
+        limit = max_positions - decode_reserve
+        keep = min(len(hist) // 2, limit)
+        tail = hist[len(hist) - keep:]
+        slot_hist[i] = [tail]
+        lm_off[i] = keep
+        row = fusion.init_cache(1, max_positions)
+        if keep > 0:
+            row, _ = fusion.prime(jnp.asarray(tail[None]), row,
+                                  jnp.zeros((1,), jnp.int32))
+        return scatter_fn(lm_cache, row, jnp.int32(i))
+
+    pending: List[Tuple[int, np.ndarray, bool]] = []
+    for i in range(slots):
+        start_next_conversation(i, pending)
+    state, lm_cache = admit(state, lm_cache, pending)
+
+    while any(c is not None for c in slot_conv):
+        state, lm_cache = chunk_fn(params, fusion.params, state, lm_cache,
+                                   jnp.asarray(lm_off))
+        done = np.asarray(state.done)             # one host sync per chunk
+        finished = [i for i in range(slots)
+                    if slot_conv[i] is not None and done[i]]
+        if not finished:
+            continue
+        out = np.asarray(state.out)
+        pending = []
+        for i in finished:
+            toks = out[i]
+            length = int((toks != cfg.pad_token_id).sum())
+            results[slot_conv[i]].append((toks.copy(), length))
+            slot_hist[i].append(toks[:length].astype(np.int32).copy())
+            lm_off[i] += length
+            # rolling refresh — ConversationContext.append trigger, per slot
+            if int(lm_off[i]) > max_positions - decode_reserve:
+                lm_cache = refresh_slot(i, lm_cache)
+            if slot_wavs[i]:
+                pending.append((i, slot_wavs[i].pop(), True))
+            else:
+                slot_conv[i] = None
+                start_next_conversation(i, pending)
+        state, lm_cache = admit(state, lm_cache, pending)
     return results

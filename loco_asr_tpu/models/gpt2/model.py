@@ -128,10 +128,11 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
         from ...parallel.sp import resolve_sp_impl
 
         sp_attn = resolve_sp_impl(attn_impl)
-        mesh, axis_name = ring
+        mesh, axis_name = ring[:2]
+        batch_axis = ring[2] if len(ring) > 2 else None
         attn = sp_attn(q, k, v, mesh=mesh, axis_name=axis_name,
                        causal=True, scale=cfg.head_dim ** -0.5,
-                       kv_valid_len=kv_valid_len)
+                       kv_valid_len=kv_valid_len, batch_axis=batch_axis)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
     elif attn_impl == "flash" and kv_cache is None:
         # O(T)-memory Pallas kernel; full-sequence causal scoring only
@@ -215,6 +216,21 @@ def gpt2_forward(
     kv_valid_len = None
     if kv_caches is None:
         if attn_impl in ("flash", "ring", "ulysses"):
+            if not deterministic and cfg.attn_pdrop > 0.0:
+                # the kernels have no attention-prob dropout; running them
+                # anyway would quietly change training numerics (the encoder
+                # path falls back to dense instead — here the causal bias was
+                # never built, so refuse loudly)
+                raise ValueError(
+                    f"attn_impl={attn_impl!r} drops attention-prob dropout "
+                    f"(attn_pdrop={cfg.attn_pdrop}); train with "
+                    f"attn_pdrop=0.0 or attn_impl='dense'")
+            if attn_impl in ("ring", "ulysses") and (
+                    not isinstance(ring, (tuple, list))
+                    or len(ring) not in (2, 3)):
+                raise ValueError(
+                    f"attn_impl={attn_impl!r} needs ring=(mesh, axis_name"
+                    f"[, batch_axis]), got {ring!r}")
             # causality lives in the kernel; no O(T^2) bias tensor.  A
             # padding mask rides as per-row valid-key counts (the kernels'
             # kv_valid_len), which assumes RIGHT padding — the only form

@@ -113,6 +113,11 @@ def multi_head_attention(
             # its own decode step).  One-hot select along the cache length —
             # a full cache read/write, but KV per step is tiny and TPU
             # scatter would be no cheaper.  Requires Tq == 1.
+            if q.shape[2] != 1:
+                raise ValueError(
+                    f"vector cache_index requires Tq == 1 (one token per "
+                    f"stream per step), got Tq={q.shape[2]} — the one-hot "
+                    f"write would silently mis-broadcast")
             sel = (jnp.arange(kv_cache["k"].shape[2])[None, :]
                    == cache_index[:, None])[:, None, :, None]
             k = jnp.where(sel, k, kv_cache["k"])
@@ -131,11 +136,16 @@ def multi_head_attention(
         from ..parallel.sp import resolve_sp_impl
 
         sp_attn = resolve_sp_impl(attn_impl)
-        mesh, axis_name = ring
+        if (not isinstance(ring, (tuple, list)) or len(ring) not in (2, 3)):
+            raise ValueError(
+                f"attn_impl={attn_impl!r} needs ring=(mesh, axis_name"
+                f"[, batch_axis]), got {ring!r}")
+        mesh, axis_name = ring[:2]
+        batch_axis = ring[2] if len(ring) > 2 else None
         out = sp_attn(q, k, v, mesh=mesh, axis_name=axis_name,
                       causal=False, scale=1.0,  # q is pre-scaled
                       rel_pe=rel_pe, rel_max=rel_max,
-                      kv_valid_len=kv_valid_len)
+                      kv_valid_len=kv_valid_len, batch_axis=batch_axis)
         out = _merge_heads(out)
         out = layers.dense(params["out_proj"], out)
         return out, new_cache

@@ -97,6 +97,13 @@ def slice_groups(devices: Sequence[jax.Device],
             split.extend(g[i:i + per] for i in range(0, len(g), per))
         granules = split
         assert len(granules) == num_slices, (len(granules), num_slices)
+    if num_slices is not None and len(granules) != num_slices:
+        # e.g. requesting FEWER slices than the runtime reports: silently
+        # building the layout over all reported slices would put unexpected
+        # axes on DCN — refuse instead
+        raise ValueError(
+            f"num_slices={num_slices} but the device set resolves to "
+            f"{len(granules)} slice group(s)")
     if len({len(g) for g in granules}) != 1:
         raise ValueError("slices have unequal device counts")
     return granules

@@ -95,6 +95,7 @@ def ring_attention(
     kv_valid_len: Optional[jnp.ndarray] = None,
     rel_pe: Optional[jnp.ndarray] = None,
     rel_max: Optional[int] = None,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Exact attention over sequence-sharded [B, H, T, D] inputs.
 
@@ -115,4 +116,5 @@ def ring_attention(
                                      causal=causal, scale=scale,
                                      rel_max=rel_max)
 
-    return sp_shard_map(local, mesh, axis_name, q, k, v, kv_valid_len, rel_pe)
+    return sp_shard_map(local, mesh, axis_name, q, k, v, kv_valid_len,
+                        rel_pe, batch_axis=batch_axis)

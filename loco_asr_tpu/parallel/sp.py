@@ -27,23 +27,30 @@ def sp_shard_map(
     local_fn: Callable, mesh: Mesh, axis_name: str,
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kv_valid_len: Optional[jnp.ndarray], rel_pe: Optional[jnp.ndarray],
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Run ``local_fn(q, k, v, kv_valid_len_or_None, rel_pe_or_None)`` under
     shard_map with q/k/v sequence-sharded on ``axis_name`` and the optional
     extras replicated.  Both SP schemes share exactly this plumbing; adding
-    a new optional input happens here once."""
+    a new optional input happens here once.
+
+    ``batch_axis``: optional mesh axis carrying data parallelism — the
+    batch dim of q/k/v (and kv_valid_len) shards over it, composing DP x SP
+    on one mesh (e.g. mesh ("data", "sequence")); collectives inside the
+    SP schemes run over ``axis_name`` only, so each data row attends its
+    own batch shard."""
     t = q.shape[2]
     n = mesh.shape[axis_name]
     if t % n:
         raise ValueError(f"sequence length {t} not divisible by mesh axis {n}")
 
-    spec = P(None, None, axis_name, None)
+    spec = P(batch_axis, None, axis_name, None)
     have_len, have_pe = kv_valid_len is not None, rel_pe is not None
     args = [q, k, v]
     in_specs = [spec, spec, spec]
     if have_len:
         args.append(kv_valid_len)
-        in_specs.append(P())
+        in_specs.append(P(batch_axis))
     if have_pe:
         args.append(rel_pe)
         in_specs.append(P())

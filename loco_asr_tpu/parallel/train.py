@@ -47,14 +47,31 @@ def make_asr_train_step(
     *,
     donate: bool = True,
     remat: bool = False,
+    attn_impl: str = "dense",
+    ring: Optional[tuple] = None,
 ) -> Callable:
     """Returns jit'd step(params, opt_state, batch, rng) -> (params,
-    opt_state, metrics); fully sharded (params: FSDP/TP, batch: DP)."""
+    opt_state, metrics); fully sharded (params: FSDP/TP, batch: DP).
+
+    ``attn_impl``: 'dense' | 'flash' | 'ring' | 'ulysses' routes encoder
+    self-attention (models/speecht5/model.asr_loss) — flash+remat is what
+    makes conversation-scale fine-tuning fit (dense OOMs at >=8k encoder
+    frames, docs/BENCH.md).  The kernels have no attention-prob dropout,
+    so attention_dropout is explicitly zeroed for them (all other dropouts
+    keep their configured rates); without this the encoder path would
+    silently fall back to dense under training dropout
+    (ops/attention.py use_flash gate) and re-OOM.
+    """
+    import dataclasses
+
+    if attn_impl != "dense" and cfg.attention_dropout > 0.0:
+        cfg = dataclasses.replace(cfg, attention_dropout=0.0)
 
     def loss_fn(params, batch, rng):
         loss, aux = st5.asr_loss(
             params, cfg, batch["input_values"], batch["attention_mask"],
-            batch["labels"], deterministic=False, rng=rng, remat=remat)
+            batch["labels"], deterministic=False, rng=rng, remat=remat,
+            attn_impl=attn_impl, ring=ring)
         return loss, aux
 
     def step(params, opt_state, batch, rng):
@@ -71,14 +88,28 @@ def make_asr_train_step(
 def make_lm_train_step(
     cfg, mesh: Mesh, tx: optax.GradientTransformation, *,
     donate: bool = True,
+    attn_impl: str = "dense",
+    ring: Optional[tuple] = None,
 ) -> Callable:
     """GPT-2 causal-LM training step: batch = {ids [B, L], lengths [B]};
-    loss = mean NLL over tokens 1..len-1 (padding inert under causality)."""
+    loss = mean NLL over tokens 1..len-1 (padding inert under causality).
+
+    ``attn_impl``: 'dense' | 'flash' | 'ring' | 'ulysses' for long-context
+    training (ring/ulysses need ``ring=(mesh, axis_name)`` and the batch's
+    sequence axis sharded on that mesh axis).  attn_pdrop is zeroed for
+    the non-dense kernels (they carry no attention-prob dropout; the
+    model would otherwise refuse, models/gpt2/model.py)."""
+    import dataclasses
+
     from ..models.gpt2 import model as g
+
+    if attn_impl != "dense" and cfg.attn_pdrop > 0.0:
+        cfg = dataclasses.replace(cfg, attn_pdrop=0.0)
 
     def loss_fn(params, batch, rng):
         logits, _ = g.gpt2_logits(params, cfg, batch["ids"],
-                                  deterministic=False, dropout_rng=rng)
+                                  deterministic=False, dropout_rng=rng,
+                                  attn_impl=attn_impl, ring=ring)
         nll = g.token_nll(logits, batch["ids"])          # [B, L-1]
         t = nll.shape[1]
         valid = (jnp.arange(t)[None, :] < (batch["lengths"] - 1)[:, None])

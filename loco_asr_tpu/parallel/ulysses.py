@@ -59,6 +59,7 @@ def ulysses_attention(
     kv_valid_len: Optional[jnp.ndarray] = None,
     rel_pe: Optional[jnp.ndarray] = None,
     rel_max: Optional[int] = None,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Exact attention over sequence-sharded [B, H, T, D] inputs via
     head-scatter all-to-alls.  H and T must divide by the mesh axis size.
@@ -83,4 +84,5 @@ def ulysses_attention(
         return jax.lax.all_to_all(out, axis_name, split_axis=2,
                                   concat_axis=1, tiled=True)
 
-    return sp_shard_map(local, mesh, axis_name, q, k, v, kv_valid_len, rel_pe)
+    return sp_shard_map(local, mesh, axis_name, q, k, v, kv_valid_len,
+                        rel_pe, batch_axis=batch_axis)

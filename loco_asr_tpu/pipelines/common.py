@@ -4,6 +4,7 @@ bucketing, device placement."""
 from __future__ import annotations
 
 import os
+import sys
 from typing import Dict, Optional
 
 import numpy as np
@@ -11,6 +12,46 @@ import numpy as np
 
 def round_up(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
+
+
+def setup_compilation_cache(enabled: Optional[bool] = None,
+                            cache_dir: Optional[str] = None) -> Optional[str]:
+    """Enable JAX's persistent compilation cache for pipeline processes.
+
+    The remote TPU compiler on this class of deployment costs minutes per
+    full-size program and is otherwise re-paid on EVERY process start
+    (docs/BENCH.md); the persistent cache keys serialized executables by
+    HLO hash so a second run of the same pipeline skips compilation
+    entirely.  Controlled by env vars (no per-pipeline flags needed):
+
+      LOCO_COMPILE_CACHE=0       -> opt out
+      LOCO_COMPILE_CACHE_DIR=... -> override the default
+                                    ~/.cache/loco_asr_tpu/jax_cache
+
+    Returns the cache dir in use, or None when disabled/unsupported.
+    """
+    import jax
+
+    if enabled is None:
+        enabled = os.environ.get("LOCO_COMPILE_CACHE", "1") != "0"
+    if not enabled:
+        return None
+    cache_dir = cache_dir or os.environ.get(
+        "LOCO_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "loco_asr_tpu",
+                     "jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache even fast compiles: the relay round-trip dominates, not
+        # local XLA time, so every hit pays
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # backend without serialization support
+        print(f"persistent compilation cache unavailable: {e}",
+              file=sys.stderr)
+        return None
+    return cache_dir
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:

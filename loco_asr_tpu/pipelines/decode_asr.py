@@ -38,7 +38,15 @@ def parse_args(argv=None):
     p.add_argument("--continuous", action="store_true",
                    help="continuous batching: per-slot admission refills a "
                         "decode slot the moment its stream finishes "
-                        "(decode/batcher.py; greedy or beam, no fusion)")
+                        "(decode/batcher.py; full greedy/beam x fusion "
+                        "matrix; incompatible with --data_parallel)")
+    p.add_argument("--conversation", action="store_true",
+                   help="with --continuous: slot = conversation stream "
+                        "(recording id = uttid.split('-')[0], the "
+                        "reference convention); the fusion LM's KV cache "
+                        "carries each recording's context across its "
+                        "utterances in start-time order (requires an LM; "
+                        "BASELINE config 5)")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard the decode batch over this many devices "
                         "(params replicated; encoder + the whole beam/"
@@ -52,6 +60,9 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from .common import setup_compilation_cache
+    setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
+
     from ..data.asr_dataset import KaldiAsrDataset
     from ..data.tokenizer import load_tokenizer
     from ..decode.beam import beam_search, greedy_decode
@@ -63,6 +74,17 @@ def main(argv=None) -> int:
     from ..utils.wer import wer_details
     from . import common
     from .eval_ppl import load_gpt2_params
+
+    if args.continuous and args.data_parallel > 1:
+        raise SystemExit("--continuous and --data_parallel are mutually "
+                         "exclusive (the batcher owns its own device "
+                         "scheduling; DP decode uses static batches)")
+    if args.conversation and not args.continuous:
+        raise SystemExit("--conversation requires --continuous")
+    if args.conversation and args.beam_size > 1:
+        raise SystemExit("--conversation currently decodes greedily "
+                         "(beam carry-over is not implemented); use "
+                         "--beam_size 1")
 
     os.makedirs(args.out_dir, exist_ok=True)
     tokenizer = load_tokenizer(args.tokenizer)
@@ -78,10 +100,14 @@ def main(argv=None) -> int:
     fusion = None
     if args.lm_checkpoint is not None or args.lm_model != "tiny":
         if args.lm_model == "tiny":
-            # mirrors train_lm's tiny config so trained checkpoints load
+            # mirrors train_lm's tiny config so trained checkpoints load;
+            # conversation carry-over needs headroom beyond one utterance
+            # (history window = n_positions - decode_reserve)
+            n_pos = max(args.max_decode_len + 8, 64)
+            if args.conversation:
+                n_pos = max(4 * (args.max_decode_len + 8), 128)
             lm_cfg = g.tiny_gpt2_config(
-                vocab_size=256, n_embd=32, n_head=4,
-                n_positions=max(args.max_decode_len + 8, 64))
+                vocab_size=256, n_embd=32, n_head=4, n_positions=n_pos)
         else:
             lm_cfg = g.PRESETS[args.lm_model]
         lm_params = load_gpt2_params(args.lm_checkpoint, lm_cfg)
@@ -144,7 +170,32 @@ def main(argv=None) -> int:
                 utts.append((utt_id, np.asarray(wav)[:n]))
                 text_by_id[utt_id] = text
         audio_seconds = sum(len(w) for _, w in utts) / 16000.0
-        if args.beam_size > 1:
+        if args.conversation:
+            from ..decode.batcher import decode_conversations
+
+            if fusion is None:
+                raise SystemExit("--conversation needs a fusion LM "
+                                 "(--lm_checkpoint/--lm_model): the "
+                                 "carried state IS the LM context")
+            # conversation = recording id (uttid.split('-')[0]); utterances
+            # in the reference's chronological key order, the full utt id
+            # string recid-channel-start-end (lms/src/utils.py:110-112)
+            by_rec = {}
+            for uid, wav in sorted(utts, key=lambda x: x[0]):
+                by_rec.setdefault(uid.split("-")[0], []).append((uid, wav))
+            convs = [(rec, [w for _, w in items])
+                     for rec, items in by_rec.items()]
+            conv_out = decode_conversations(
+                params, cfg, convs, fusion=fusion, slots=args.batch_size,
+                max_len=args.max_decode_len,
+                audio_samples=int(args.max_seconds * 16000),
+                encode_fn=enc_fn,
+                decode_reserve=args.max_decode_len + 8)
+            results = {}
+            for rec, items in by_rec.items():
+                for (uid, _), res in zip(items, conv_out[rec]):
+                    results[uid] = res
+        elif args.beam_size > 1:
             results = decode_continuous_beam(
                 params, cfg, utts, slots=args.batch_size,
                 beam_size=args.beam_size, max_len=args.max_decode_len,

@@ -122,6 +122,9 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from .common import setup_compilation_cache
+    setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
+
     from ..data import lm_datasets, tokenizer as tok_lib
     from ..models.gpt2 import model as g
     from ..utils.metrics import create_logger

@@ -56,6 +56,9 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from .common import setup_compilation_cache
+    setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
+
     from ..data import embedding_store, slurp, tokenizer as tok_lib
     from ..models.speecht5 import model as st5
     from ..models.speecht5.config import SpeechT5Config

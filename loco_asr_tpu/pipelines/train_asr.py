@@ -44,6 +44,20 @@ def parse_args(argv=None):
     p.add_argument("--nan_recovery", action="store_true",
                    help="on a non-finite loss, roll back to the last "
                         "checkpoint and skip the offending batch")
+    p.add_argument("--nan_inject_step", type=int, default=None,
+                   help="fault injection (testing): poison the batch at "
+                        "this step ONCE with NaNs to exercise "
+                        "--nan_recovery")
+    p.add_argument("--attn_impl", default="dense",
+                   choices=["dense", "flash", "ring", "ulysses"],
+                   help="encoder self-attention during training: 'flash' "
+                        "(O(T)-memory Pallas kernel; combine with --remat "
+                        "for conversation-scale batches where dense OOMs) "
+                        "or sequence-parallel 'ring'/'ulysses' over a "
+                        "--sp_devices mesh")
+    p.add_argument("--sp_devices", type=int, default=0,
+                   help="devices for the sequence axis when --attn_impl "
+                        "is ring/ulysses (a separate ('sequence',) mesh)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
     p.add_argument("--decode_max_len", type=int, default=100)
@@ -56,6 +70,9 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+
+    from .common import setup_compilation_cache
+    setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
     import optax
 
     from ..data.asr_dataset import KaldiAsrDataset
@@ -92,8 +109,16 @@ def main(argv=None) -> int:
     params = partition.shard_params(params, mesh)
     tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps, args.steps)
     opt_state = tx.init(params)
+    ring = None
+    if args.attn_impl in ("ring", "ulysses"):
+        from jax.sharding import Mesh as JMesh
+
+        n_sp = args.sp_devices or len(jax.devices())
+        sp_mesh = JMesh(np.asarray(jax.devices()[:n_sp]), ("sequence",))
+        ring = (sp_mesh, "sequence")
     step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
-                                        remat=args.remat)
+                                        remat=args.remat,
+                                        attn_impl=args.attn_impl, ring=ring)
 
     ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
@@ -174,6 +199,13 @@ def main(argv=None) -> int:
             stream = batch_stream(epoch)
             continue
         rng, sub = jax.random.split(rng)
+        if args.nan_inject_step is not None and step + 1 == args.nan_inject_step:
+            # fault injection: a genuinely poisoned batch (NaN waveform ->
+            # NaN loss/grads) exercising the recovery path end-to-end
+            batch = dict(batch)
+            batch["input_values"] = np.full_like(
+                np.asarray(batch["input_values"], np.float32), np.nan)
+            args.nan_inject_step = None
         dev_batch = train.shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()
              if k in ("input_values", "attention_mask", "labels")}, mesh)

@@ -57,6 +57,9 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+
+    from .common import setup_compilation_cache
+    setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
     import optax
 
     from ..data.embedding_store import EmbeddingStore

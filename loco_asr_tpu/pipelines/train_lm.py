@@ -42,6 +42,23 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--mesh", default="-1,1,1")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--nan_recovery", action="store_true",
+                   help="on a non-finite loss, roll back to the last "
+                        "checkpoint and skip the offending batch "
+                        "(same failure-detection contract as train_asr)")
+    p.add_argument("--nan_inject_step", type=int, default=None,
+                   help="fault injection (testing): poison the parameters "
+                        "at this step ONCE with NaNs to exercise "
+                        "--nan_recovery")
+    p.add_argument("--attn_impl", default="dense",
+                   choices=["dense", "flash", "ring", "ulysses"],
+                   help="causal self-attention during training: 'flash' "
+                        "(O(T)-memory Pallas kernel) for long-context "
+                        "windows; 'ring'/'ulysses' sequence-parallel over "
+                        "--sp_devices")
+    p.add_argument("--sp_devices", type=int, default=0,
+                   help="devices for the sequence axis when --attn_impl "
+                        "is ring/ulysses")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -69,6 +86,9 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from .common import setup_compilation_cache
+    setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
+
     from ..data import lm_datasets
     from ..data.tokenizer import load_tokenizer
     from ..models.gpt2 import model as g
@@ -95,7 +115,15 @@ def main(argv=None) -> int:
     params = partition.shard_params(params, mesh)
     tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps, args.steps)
     opt_state = tx.init(params)
-    step_fn = train.make_lm_train_step(cfg, mesh, tx, donate=False)
+    ring = None
+    if args.attn_impl in ("ring", "ulysses"):
+        from jax.sharding import Mesh as JMesh
+
+        n_sp = args.sp_devices or len(jax.devices())
+        sp_mesh = JMesh(np.asarray(jax.devices()[:n_sp]), ("sequence",))
+        ring = (sp_mesh, "sequence")
+    step_fn = train.make_lm_train_step(cfg, mesh, tx, donate=False,
+                                       attn_impl=args.attn_impl, ring=ring)
 
     train_ds = lm_datasets.MaxLenTextDataset(args.train_file, tokenizer,
                                              max_len=args.seq_len)
@@ -171,9 +199,29 @@ def main(argv=None) -> int:
             stream = batches(epoch)
             continue
         rng, sub = jax.random.split(rng)
+        if args.nan_inject_step is not None and step + 1 == args.nan_inject_step:
+            # fault injection: NaN-poisoned parameters -> non-finite loss
+            # and grads; --nan_recovery must restore the last checkpoint
+            params = jax.tree_util.tree_map(lambda x: x * jnp.nan, params)
+            args.nan_inject_step = None
         dev_batch = train.shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
-        params, opt_state, m = step_fn(params, opt_state, dev_batch, sub)
+        new_params, new_opt, m = step_fn(params, opt_state, dev_batch, sub)
+        if args.nan_recovery and not np.isfinite(float(m["loss"])):
+            # failure detection (SURVEY §5): roll back and skip the batch
+            print(f"step {step+1}: non-finite loss; rolling back",
+                  file=sys.stderr)
+            metrics.log(step=step + 1, event="nan_rollback")
+            target = {"params": jax.device_get(params),
+                      "opt_state": jax.device_get(opt_state),
+                      "step": np.asarray(0)}
+            restored = ckpt.restore(target=target)
+            if restored is not None:
+                params = partition.shard_params(restored["params"], mesh)
+                opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                                   restored["opt_state"])
+            continue
+        params, opt_state = new_params, new_opt
         step += 1
         if step % args.log_every == 0:
             dt = time.perf_counter() - t0

@@ -38,11 +38,23 @@ def parse_args(argv=None):
                         "OOMs past ~2.7 min of frames)")
     p.add_argument("--tiny", action="store_true", help="tiny ASR config (smoke)")
     p.add_argument("--limit_episodes", type=int, default=None)
+    p.add_argument("--continuous", action="store_true",
+                   help="decode ALL episodes concurrently with the "
+                        "continuous batcher: slot = episode stream; with "
+                        "an LM, per-slot conversation carry-over "
+                        "(decode/batcher.decode_conversations)")
+    p.add_argument("--slots", type=int, default=4,
+                   help="concurrent episode slots for --continuous")
+    p.add_argument("--chunk_steps", type=int, default=16,
+                   help="decode steps per host round-trip (--continuous)")
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+
+    from .common import setup_compilation_cache
+    setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
 
     from ..data import podcasts
     from ..data.tokenizer import load_tokenizer
@@ -79,6 +91,10 @@ def main(argv=None) -> int:
         episodes = episodes[: args.limit_episodes]
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
 
+    if args.continuous:
+        return _run_continuous(args, cfg, params, fusion, tokenizer,
+                               episodes, metrics)
+
     for ep in episodes:
         watch = Stopwatch()
         wav, sr = load_audio(ep.audio_path, 16000)
@@ -99,6 +115,90 @@ def main(argv=None) -> int:
         metrics.log(episode=ep.episode_id, segments=len(out), rtfx=rtfx)
         print(f"{ep.episode_id}: {len(out)} segments, RTFx {rtfx:.1f}",
               file=sys.stderr)
+    return 0
+
+
+def _run_continuous(args, cfg, params, fusion, tokenizer, episodes,
+                    metrics) -> int:
+    """Batched multi-episode decoding: every episode is a conversation
+    stream in the continuous batcher; interleaved across slots, so slots
+    freed by short episodes immediately serve the next one.  With an LM,
+    each slot's fusion KV carries that episode's context across segments
+    (decode_conversations); without one, segments decode independently
+    (decode_continuous).  Per-episode WER is scored against manifest
+    segment texts when present."""
+    import numpy as np
+
+    from ..data.podcasts import segment_by_energy
+    from ..decode.batcher import decode_continuous, decode_conversations
+    from ..ops.audio import load_audio
+    from ..utils.metrics import Stopwatch
+    from ..utils.wer import wer
+
+    sr = 16000
+    bucket = int(args.batch_seconds * sr)
+    convs, spans, refs, audio_seconds = [], {}, {}, 0.0
+    for ep in episodes:
+        wav, wsr = load_audio(ep.audio_path, sr)
+        audio_seconds += len(wav) / sr
+        segs = ([(s.start, s.end) for s in ep.segments] if ep.segments
+                else segment_by_energy(wav, sr,
+                                       max_segment_s=args.batch_seconds))
+        chunks = []
+        kept = []
+        for start, end in segs:
+            chunk = wav[int(start * sr): int(end * sr)][:bucket]
+            if len(chunk) == 0:
+                continue
+            chunks.append(chunk.astype(np.float32))
+            kept.append((start, end))
+        convs.append((ep.episode_id, chunks))
+        spans[ep.episode_id] = kept
+        refs[ep.episode_id] = ([s.text for s in ep.segments]
+                               if ep.segments and any(s.text for s in
+                                                      ep.segments) else None)
+
+    watch = Stopwatch()
+    if fusion is not None:
+        results = decode_conversations(
+            params, cfg, convs, fusion=fusion, slots=args.slots,
+            chunk_steps=args.chunk_steps, max_len=args.max_decode_len,
+            audio_samples=bucket,
+            decode_reserve=args.max_decode_len + 8)  # = transcribe_long_audio
+    else:
+        utts = [(f"{cid}::{i}", w) for cid, chunks in convs
+                for i, w in enumerate(chunks)]
+        flat = decode_continuous(
+            params, cfg, utts, slots=args.slots,
+            chunk_steps=args.chunk_steps, max_len=args.max_decode_len,
+            audio_samples=bucket)
+        results = {}
+        for cid, chunks in convs:
+            results[cid] = [flat[f"{cid}::{i}"] for i in range(len(chunks))]
+
+    corpus_rtfx = watch.rtfx(audio_seconds)
+    for cid, _ in convs:
+        hyps = []
+        path = os.path.join(args.out_dir, f"{cid}.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            for (toks, length), (start, end) in zip(results[cid],
+                                                    spans[cid]):
+                ids = [int(t) for t in toks[:length]
+                       if int(t) != cfg.eos_token_id]
+                text = (tokenizer.decode(ids)
+                        if tokenizer is not None and ids else "")
+                hyps.append(text)
+                f.write(json.dumps({"start": start, "end": end,
+                                    "text": text,
+                                    "token_ids": ids}) + "\n")
+        row = {"episode": cid, "segments": len(hyps),
+               "corpus_rtfx": corpus_rtfx}
+        if refs[cid] is not None:
+            row["wer"] = wer(refs[cid][:len(hyps)], hyps)
+        metrics.log(**row)
+        print(f"{cid}: {len(hyps)} segments"
+              + (f", WER {row['wer']*100:.2f}%" if "wer" in row else "")
+              + f" (corpus RTFx {corpus_rtfx:.1f})", file=sys.stderr)
     return 0
 
 

@@ -130,6 +130,59 @@ def bench_train(batch: int, seconds: float, label_len: int):
     WWW.update(rows)
 
 
+def bench_longctx_train(seconds: float, batch: int, label_len: int,
+                        attn_impl: str = "flash"):
+    """Conversation-scale ASR fine-tuning step: flash attention + remat.
+    Dense attention OOMs past ~8k encoder frames (docs/BENCH.md
+    conversation-length table); this row proves the long-context TRAINING
+    path (VERDICT r2 item 3) and measures its throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.models.speecht5.config import SpeechT5Config
+    from loco_asr_tpu.parallel import mesh as meshlib, partition, train
+    from loco_asr_tpu.pipelines import common
+    from loco_asr_tpu.utils.profiling import device_time_per_iter
+
+    cfg = SpeechT5Config()
+    mesh = meshlib.make_mesh(-1, 1, 1)
+    params = common.load_speecht5_params(None, "asr", cfg,
+                                         jax.random.PRNGKey(0))
+    params = partition.shard_params(params, mesh)
+    tx = train.adamw(1e-4, 0.01, 10, 1000)
+    opt_state = tx.init(params)
+    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                        remat=True, attn_impl=attn_impl)
+
+    rng = np.random.default_rng(0)
+    t = int(seconds * 16000)
+    frames = cfg.feat_extract_output_length(t)
+    batch_d = train.shard_batch({
+        "input_values": jnp.asarray(
+            rng.standard_normal((batch, t)).astype(np.float32) * 0.1),
+        "attention_mask": jnp.ones((batch, t), jnp.int32),
+        "labels": jnp.asarray(rng.integers(
+            1, cfg.vocab_size, (batch, label_len)).astype(np.int32)),
+    }, mesh)
+
+    def step(p, opt, b, r):
+        new_p, new_opt, m = step_fn(p, opt, b, r)
+        lens = jax.tree_util.tree_leaves(new_p)
+        return m["loss"] + sum(jnp.mean(x) for x in lens[:4])
+
+    per = device_time_per_iter(step, params, opt_state, batch_d,
+                               jax.random.PRNGKey(0), iters=4)
+    rows = {
+        f"longctx_train_frames": frames,
+        f"longctx_train_step_ms": per * 1e3,
+        f"longctx_train_audio_s_per_s": batch * seconds / per,
+    }
+    print(f"longctx train_asr [{attn_impl}+remat, B{batch}x{seconds:.0f}s "
+          f"= {frames} frames]: {per*1e3:.1f} ms/step "
+          f"({batch*seconds/per:,.1f} audio-s/s)")
+    WWW.update(rows)
+
+
 def bench_decode(seconds: float, decode_len: int):
     import jax
     import jax.numpy as jnp
@@ -238,10 +291,101 @@ def bench_continuous(n_utts: int, slots: int, max_len: int):
     WWW.update(rows)
 
 
+def bench_conversations(n_convs: int, utts_per_conv: int, slots: int,
+                        max_len: int):
+    """Conversation carry-over: batched decode_conversations vs the only
+    other way to get identical numerics — sequential greedy_decode +
+    ConversationContext per conversation (batch=1, decode/long_audio.py's
+    mode).  This is the batcher's designed win regime: the sequential
+    path cannot batch across streams because each utterance depends on
+    its stream's history."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.decode.batcher import decode_conversations
+    from loco_asr_tpu.decode.beam import greedy_decode
+    from loco_asr_tpu.decode.context import ConversationContext
+    from loco_asr_tpu.decode.fusion import FusionLM
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.models.speecht5 import model as st5
+    from loco_asr_tpu.models.speecht5.config import SpeechT5Config
+    from loco_asr_tpu.pipelines import common
+
+    cfg = SpeechT5Config()
+    params = common.load_speecht5_params(None, "asr", cfg,
+                                         jax.random.PRNGKey(0))
+    lm_cfg = g.GPT2Config(vocab_size=cfg.vocab_size)  # full-size GPT-2 body
+    fusion = FusionLM(g.gpt2_init(jax.random.PRNGKey(7), lm_cfg), lm_cfg,
+                      weight=0.3)
+    rng = np.random.default_rng(0)
+    bucket = 5 * 16000
+    convs = []
+    for c in range(n_convs):
+        wavs = [(rng.standard_normal(
+            rng.integers(2 * 16000, bucket + 1)) * 0.1).astype(np.float32)
+            for _ in range(utts_per_conv)]
+        convs.append((f"conv{c}", wavs))
+    audio_s = sum(len(w) for _, ws in convs for w in ws) / 16000.0
+    reserve = max_len + 8
+
+    enc_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+
+    def run_sequential(convs_subset):
+        dec = jax.jit(lambda p, lp, e, m, c, s: greedy_decode(
+            p, cfg, e, m, max_len=max_len,
+            fusion=FusionLM(lp, lm_cfg, weight=0.3),
+            lm_cache=c, lm_start=s, return_lm_cache=True))
+        for cid, wavs in convs_subset:
+            ctx = ConversationContext(fusion, batch=1,
+                                      decode_reserve=reserve)
+            for wav in wavs:
+                w = np.zeros((1, bucket), np.float32)
+                m = np.zeros((1, bucket), np.int32)
+                w[0, :len(wav)] = wav
+                m[0, :len(wav)] = 1
+                enc, msk = enc_fn(params, jnp.asarray(w), jnp.asarray(m))
+                cache, start = ctx.state()
+                toks, lens, cache = dec(params, fusion.params, enc, msk,
+                                        cache, start)
+                ctx.append(np.asarray(toks), np.asarray(lens), cache)
+
+    # warm both paths (compile), then measure
+    run_sequential(convs[:1])
+    t0 = time.perf_counter()
+    run_sequential(convs)
+    t_seq = time.perf_counter() - t0
+
+    decode_conversations(params, cfg, convs[:1], fusion=fusion, slots=slots,
+                         max_len=max_len, audio_samples=bucket,
+                         encode_fn=enc_fn, decode_reserve=reserve)
+    t0 = time.perf_counter()
+    decode_conversations(params, cfg, convs, fusion=fusion, slots=slots,
+                         max_len=max_len, audio_samples=bucket,
+                         encode_fn=enc_fn, decode_reserve=reserve)
+    t_batch = time.perf_counter() - t0
+
+    rows = {"conv_sequential_wall_s": t_seq,
+            "conv_batcher_wall_s": t_batch,
+            "conv_speedup": t_seq / t_batch,
+            "conv_rtfx": audio_s / t_batch}
+    print(f"conversations {n_convs}x{utts_per_conv} (slots {slots}, "
+          f"max_len {max_len}): sequential {t_seq:.2f}s, batched "
+          f"{t_batch:.2f}s ({t_seq/t_batch:.2f}x, RTFx {audio_s/t_batch:,.0f})")
+    WWW.update(rows)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--only", choices=["ppl", "train", "decode", "cont"],
+    p.add_argument("--only", choices=["ppl", "train", "decode", "cont",
+                                      "longctx", "conv"],
                    default=None)
+    p.add_argument("--longctx_seconds", type=float, default=164.0,
+                   help="audio seconds for the long-context train row "
+                        "(164 s ~= 8,198 encoder frames, past the dense "
+                        "OOM knee)")
+    p.add_argument("--longctx_batch", type=int, default=1)
     p.add_argument("--json", default=None, help="write rows to this file")
     p.add_argument("--ppl_bsize", type=int, default=8)
     p.add_argument("--ppl_max_len", type=int, default=1024)
@@ -264,6 +408,11 @@ def main(argv=None):
         bench_decode(args.decode_seconds, args.decode_len)
     if args.only == "cont":
         bench_continuous(32, 8, 200)
+    if args.only == "longctx":
+        bench_longctx_train(args.longctx_seconds, args.longctx_batch,
+                            args.train_label_len)
+    if args.only == "conv":
+        bench_conversations(8, 4, 8, 200)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(WWW, f, indent=2)

@@ -37,6 +37,9 @@ Checks, mirroring the reference pipelines they validate:
                      compare our extraction of the same records
                      (data/embedding_store.py compat layer) — MAE and
                      cosine per record.
+  5. shorten-golden: decode a REAL LDC shorten-coded .sph against staged
+                     sph2pipe output, sample-exact (the external oracle
+                     tests/test_shorten.py cannot provide offline).
 
 Every check writes {"check": ..., "status": "pass|fail|skipped", ...}
 into the --out JSON; paste that file into docs/VALIDATION.md when run.
@@ -211,6 +214,36 @@ def check_gpt2(hf_dir):
             "status": "pass" if worst < NLL_TOL else "fail"}
 
 
+def check_shorten_golden(sph_file, ref_pcm_file):
+    """Decode a REAL (LDC-produced) shorten-coded SPHERE file with our
+    codec and compare sample-exactly against staged sph2pipe output.
+
+    tests/test_shorten.py proves self-roundtrip + Python/C++
+    cross-implementation parity only — every in-repo fixture was produced
+    by our own encoder, so a shared misreading of the shorten 2.x spec
+    (e.g. the ULAW/AU1/AU2 internal-sample conventions) would pass those
+    tests and silently corrupt real corpus ingest.  This check is the
+    missing external oracle: ``ref_pcm_file`` must be the output of
+    ``sph2pipe -f wav <sph_file>`` (or -c 1/-c 2 variants, one file per
+    channel, concatenated channel-major)."""
+    from loco_asr_tpu.ops.audio import read_sphere, read_wav
+
+    samples, sr = read_sphere(sph_file)
+    ref_f, ref_sr = read_wav(ref_pcm_file)
+    # both sides are int16/32768-exact floats; compare in the int16 domain
+    ours = np.round(np.asarray(samples).reshape(-1) * 32768.0).astype(np.int32)
+    ref = np.round(np.asarray(ref_f).reshape(-1) * 32768.0).astype(np.int32)
+    n = min(len(ours), len(ref))
+    exact = bool(n > 0 and np.array_equal(ours[:n], ref[:n]))
+    return {"check": "shorten-sph2pipe-golden",
+            "n_samples": int(n), "sample_rate": int(sr),
+            "len_match": len(ours) == len(ref),
+            "max_abs_delta": (int(np.abs(ours[:n].astype(np.int64)
+                                         - ref[:n].astype(np.int64)).max())
+                              if n else None),
+            "status": "pass" if exact and len(ours) == len(ref) else "fail"}
+
+
 def check_slurp_embeddings(ref_dir, hf_dir, audio_root):
     """Compare reference-produced embedding pickles against our extraction
     of the same records — needs the HF model AND the SLURP audio."""
@@ -239,6 +272,10 @@ def main(argv=None):
     p.add_argument("--audio", nargs="*", default=None)
     p.add_argument("--slurp_embeddings", default=None)
     p.add_argument("--slurp_audio", default=None)
+    p.add_argument("--golden_sph", default=None,
+                   help="real LDC shorten-coded .sph file")
+    p.add_argument("--golden_wav", default=None,
+                   help="sph2pipe -f wav output of --golden_sph")
     p.add_argument("--out", default="real_weight_report.json")
     args = p.parse_args(argv)
 
@@ -253,6 +290,8 @@ def main(argv=None):
         (args.slurp_embeddings, "slurp-embedding-parity",
          lambda: check_slurp_embeddings(args.slurp_embeddings,
                                         args.speecht5_hf, args.slurp_audio)),
+        (args.golden_sph, "shorten-sph2pipe-golden",
+         lambda: check_shorten_golden(args.golden_sph, args.golden_wav)),
     ]
     for path, name, fn in jobs:
         if path is None:

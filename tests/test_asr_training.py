@@ -80,6 +80,7 @@ def test_kaldi_asr_dataset(kaldi_dir):
     assert valid[-1] == 1
 
 
+@pytest.mark.slow
 def test_decode_asr_pipeline(kaldi_dir, tmp_path, monkeypatch):
     import json
 
@@ -100,6 +101,7 @@ def test_decode_asr_pipeline(kaldi_dir, tmp_path, monkeypatch):
     assert len(lines) == 3 and lines[0].split()[0].startswith("rec")
 
 
+@pytest.mark.slow
 def test_train_asr_pipeline_smoke(kaldi_dir, tmp_path, monkeypatch):
     from loco_asr_tpu.pipelines import train_asr
 
@@ -129,6 +131,7 @@ def test_train_asr_pipeline_smoke(kaldi_dir, tmp_path, monkeypatch):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_decode_asr_continuous_matches_static(kaldi_dir, tmp_path, monkeypatch):
     """--continuous (slot-level admission) must emit the same hypotheses
     as static greedy batching for every utterance."""
@@ -146,6 +149,7 @@ def test_decode_asr_continuous_matches_static(kaldi_dir, tmp_path, monkeypatch):
     assert cont == static
 
 
+@pytest.mark.slow
 def test_decode_asr_data_parallel_matches_single(kaldi_dir, tmp_path,
                                                  monkeypatch):
     """--data_parallel 2: sharded encoder + greedy loop must emit the same
@@ -165,6 +169,7 @@ def test_decode_asr_data_parallel_matches_single(kaldi_dir, tmp_path,
     assert dp == single
 
 
+@pytest.mark.slow
 def test_decode_asr_continuous_beam_matches_static(kaldi_dir, tmp_path,
                                                    monkeypatch):
     """--continuous with beam_size > 1 must match static beam decoding."""

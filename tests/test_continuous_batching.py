@@ -35,6 +35,7 @@ def reference_tokens(cfg, params, wav, audio_samples, max_len):
     return np.asarray(toks)[0], int(np.asarray(lens)[0])
 
 
+@pytest.mark.slow
 def test_matches_per_utterance_greedy(setup):
     cfg, params, utts = setup
     max_len, bucket = 12, 3200
@@ -89,6 +90,7 @@ def test_per_stream_cache_index_matches_scalar():
                                    atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_beam_continuous_matches_per_utterance_beam(setup):
     """Beam-mode continuous batching == per-utterance beam_search (top
     hypothesis tokens and length), across slot refills."""
@@ -115,6 +117,7 @@ def test_beam_continuous_matches_per_utterance_beam(setup):
             toks, np.asarray(hyp.tokens)[0, 0], err_msg=uid)
 
 
+@pytest.mark.slow
 def test_fusion_continuous_matches_per_utterance(setup):
     """Continuous batching with an LM fusion scorer == per-utterance
     greedy_decode(fusion=...) — the per-slot LM cache offsets must track
@@ -147,6 +150,7 @@ def test_fusion_continuous_matches_per_utterance(setup):
                                       err_msg=uid)
 
 
+@pytest.mark.slow
 def test_beam_fusion_continuous_matches_per_utterance(setup):
     """Beam + LM fusion in the continuous batcher == per-utterance
     beam_search(fusion=...) — the beam-flat LM cache must reorder by

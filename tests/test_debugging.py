@@ -41,6 +41,7 @@ def test_model_forwards_deterministic():
     assert check_deterministic(lambda: fwd(params, wav, rng))
 
 
+@pytest.mark.slow
 def test_dropout_rng_changes_output():
     from loco_asr_tpu.models.speecht5 import model as st5
     from loco_asr_tpu.models.speecht5.config import tiny_config

@@ -50,6 +50,7 @@ def test_greedy_equals_beam_one(asr):
     np.testing.assert_array_equal(np.asarray(g_tok), np.asarray(hyp.tokens[:, 0]))
 
 
+@pytest.mark.slow
 def test_beam_score_not_worse_than_greedy(asr):
     params, cfg, enc, mask = asr
     g_tok, g_len = greedy_decode(params, cfg, enc, mask, max_len=12)
@@ -61,6 +62,7 @@ def test_beam_score_not_worse_than_greedy(asr):
     assert np.all(np.asarray(b_score) >= np.asarray(g_score) - 1e-4)
 
 
+@pytest.mark.slow
 def test_beam_internal_scores_match_recompute(asr):
     """Beam's accumulated scores must equal teacher-forced recomputation."""
     params, cfg, enc, mask = asr
@@ -93,6 +95,7 @@ def test_fusion_biases_toward_lm(asr):
     assert fused_count > base_count
 
 
+@pytest.mark.slow
 def test_conversation_context_conditions_lm(asr):
     """Carry-over: the same utterance decodes differently once the
     conversation cache holds history (LM conditioning changed)."""
@@ -138,6 +141,7 @@ def test_decode_utterance_batch_wrapper(asr):
     assert np.all(np.asarray(lens) <= 8)
 
 
+@pytest.mark.slow
 def test_ragged_carryover_matches_solo_streams():
     """Two streams with different history lengths batched together must
     score the next utterance exactly as each stream decoded alone —
@@ -195,6 +199,7 @@ def test_context_append_tracks_per_stream_offsets():
     assert ctx.history_len == 6
 
 
+@pytest.mark.slow
 def test_carryover_cache_contains_decoded_kv(asr):
     """REGRESSION: greedy_decode must hand back its updated LM cache
     (return_lm_cache=True) and ConversationContext.append must keep it —

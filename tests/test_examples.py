@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: full pipeline drives / virtual-mesh collectives
+
 
 @pytest.fixture(scope="module")
 def shared_space_mod():

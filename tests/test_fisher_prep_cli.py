@@ -5,6 +5,7 @@ with speaker remap and topic splits."""
 import os
 
 import numpy as np
+import pytest
 
 from loco_asr_tpu.data import kaldi
 from loco_asr_tpu.pipelines import fisher_prep as cli
@@ -71,6 +72,7 @@ def test_fisher_prep_cli_end_to_end(tmp_path, monkeypatch):
     assert all(k.startswith("fe_03_00002") for k in dev_text)
 
 
+@pytest.mark.slow
 def test_prepared_dir_feeds_asr_dataset(tmp_path, monkeypatch):
     """The CLI-prepared dir must be directly consumable by KaldiAsrDataset:
     wav.scp sph_decode pipes execute, segments crop, audio decodes."""

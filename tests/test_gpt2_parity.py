@@ -32,6 +32,7 @@ def test_logits_parity(pair):
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_token_nll_matches_torch_ce(pair):
     hf, params, cfg = pair
     ids = np.array([[5, 9, 2, 44, 17, 3]], np.int64)
@@ -45,6 +46,7 @@ def test_token_nll_matches_torch_ce(pair):
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_kv_cache_scoring_matches_full(pair):
     """Incremental scoring with a KV cache reproduces full-context logits —
     the numerics-equivalence proof backing the eval_ppl max_len fast path."""
@@ -68,6 +70,7 @@ def test_kv_cache_scoring_matches_full(pair):
     np.testing.assert_allclose(got, np.asarray(full), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flash_attention_impl_matches_dense(pair):
     _, params, cfg = pair
     ids = np.random.default_rng(1).integers(0, 61, (2, 24))
@@ -82,6 +85,7 @@ def test_presets_shapes():
     assert g.PRESETS["gpt2-xl"].n_embd == 1600
 
 
+@pytest.mark.slow
 def test_score_tokens_matches_dense_lm_head(pair):
     """score_tokens (chunked lm head, no [B,T,V] materialization) must
     equal token_nll over dense logits — including when T-1 is not a
@@ -95,6 +99,7 @@ def test_score_tokens_matches_dense_lm_head(pair):
         np.testing.assert_allclose(got, dense, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_flash_and_ulysses_respect_padding_mask(pair):
     """attn_impl kernels must honor a right-padded attention_mask via
     kv_valid_len instead of silently dropping it (valid-prefix NLLs must

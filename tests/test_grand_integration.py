@@ -15,6 +15,8 @@ import pytest
 
 from tests.test_fisher_prep_cli import _make_corpus
 
+pytestmark = pytest.mark.slow  # heavy tier: full pipeline drives / virtual-mesh collectives
+
 
 @pytest.fixture(scope="module")
 def prepared(tmp_path_factory):

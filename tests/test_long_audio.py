@@ -58,6 +58,7 @@ def test_segment_splits_long_runs():
     assert abs(segs[-1][1] - 7.0) < 0.05
 
 
+@pytest.mark.slow
 def test_transcribe_episodes_cli(tmp_path, monkeypatch):
     import wave
 
@@ -89,6 +90,7 @@ def test_transcribe_episodes_cli(tmp_path, monkeypatch):
     assert lines and all("start" in l and "token_ids" in l for l in lines)
 
 
+@pytest.mark.slow
 def test_transcribe_long_audio_with_context():
     cfg = tiny_config(apply_spec_augment=False, mask_time_prob=0.0)
     params = st5.asr_init(jax.random.PRNGKey(0), cfg)
@@ -109,6 +111,7 @@ def test_transcribe_long_audio_with_context():
         assert all(isinstance(t, int) for t in s.token_ids)
 
 
+@pytest.mark.slow
 def test_transcribe_long_audio_flash_matches_dense():
     """attn_impl='flash' (banded rel-pos kernel, interpret mode on CPU)
     must transcribe identically to the dense encoder."""

@@ -13,6 +13,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy tier: full pipeline drives / virtual-mesh collectives
+
 
 # ---------------------------------------------------------------------------
 # fixtures: tiny synthetic SLURP + Fisher text

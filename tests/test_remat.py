@@ -1,6 +1,7 @@
 """Rematerialization: remat'd loss/grads must equal the non-remat ones."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,7 @@ from loco_asr_tpu.models.speecht5 import model as st5
 from loco_asr_tpu.models.speecht5.config import tiny_config
 
 
+@pytest.mark.slow
 def test_remat_grads_match():
     cfg = tiny_config(apply_spec_augment=False, mask_time_prob=0.0)
     params = st5.asr_init(jax.random.PRNGKey(0), cfg)

@@ -92,6 +92,7 @@ def test_ring_rel_pe_and_padding_match_dense(mesh2):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_gpt2_ring_nll_equals_single_device(mesh2):
     """Sequence-parallel GPT-2 scoring == single-device NLLs (the eval_ppl
     --sequence_parallel contract)."""

@@ -13,6 +13,8 @@ from loco_asr_tpu.models.speecht5 import model as st5
 from loco_asr_tpu.models.speecht5.config import tiny_config
 from loco_asr_tpu.parallel import mesh as meshlib, partition, train
 
+pytestmark = pytest.mark.slow  # heavy tier: full pipeline drives / virtual-mesh collectives
+
 
 @pytest.fixture(scope="module")
 def mesh8():

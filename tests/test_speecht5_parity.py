@@ -119,6 +119,7 @@ def asr_pair():
     return hf, params, our_tiny_config()
 
 
+@pytest.mark.slow
 def test_asr_seq2seq_parity(asr_pair):
     hf, params, cfg = asr_pair
     rng = np.random.default_rng(2)
@@ -131,6 +132,7 @@ def test_asr_seq2seq_parity(asr_pair):
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_asr_incremental_decode_matches_full(asr_pair):
     """KV-cached step decoding must reproduce the teacher-forced logits."""
     from loco_asr_tpu.models.speecht5 import decoder as dec

@@ -1,0 +1,220 @@
+"""Long-context training wiring: `attn_impl` must route through the full
+train steps (parallel/train.py) with gradients matching the dense path.
+
+The flash kernel (ops/pallas/flash_attention.py) has a custom blockwise
+VJP and ring/ulysses SP attention is exact — so training through any of
+them must produce the same loss AND the same parameter update as dense
+attention (up to fp accumulation-order noise).  This is what makes
+conversation-scale fine-tuning (dense OOMs at >=8k encoder frames,
+docs/BENCH.md) a trained capability rather than an inference-only one.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from loco_asr_tpu.models.speecht5 import model as st5
+from loco_asr_tpu.models.speecht5.config import tiny_config
+from loco_asr_tpu.parallel import mesh as meshlib, train
+
+
+def _no_dropout(cfg):
+    return dataclasses.replace(
+        cfg, positional_dropout=0.0, hidden_dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, apply_spec_augment=False)
+
+
+@pytest.fixture(scope="module")
+def asr_setup():
+    cfg = _no_dropout(tiny_config())
+    params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_values": jnp.asarray(
+            rng.standard_normal((2, 1600)).astype(np.float32) * 0.1),
+        "attention_mask": jnp.ones((2, 1600), jnp.int32),
+        "labels": jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 7))),
+    }
+    return cfg, params, batch
+
+
+def test_asr_train_step_flash_matches_dense(asr_setup):
+    """One full train step (loss+grad+adamw update) through flash ==
+    through dense: same loss, same updated params."""
+    cfg, params, batch = asr_setup
+    mesh = meshlib.make_mesh(data=1)
+    tx = optax.adamw(1e-3)
+
+    outs = {}
+    for impl in ("dense", "flash"):
+        step = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                         attn_impl=impl)
+        opt = tx.init(params)
+        p2, _, m = step(params, opt, batch, jax.random.PRNGKey(1))
+        outs[impl] = (jax.device_get(p2), float(m["loss"]),
+                      float(m["grad_norm"]))
+
+    assert np.isfinite(outs["flash"][1])
+    np.testing.assert_allclose(outs["flash"][1], outs["dense"][1],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["flash"][2], outs["dense"][2],
+                               rtol=1e-3, atol=1e-4)
+    flat_d = jax.tree_util.tree_leaves(outs["dense"][0])
+    flat_f = jax.tree_util.tree_leaves(outs["flash"][0])
+    for a, b in zip(flat_d, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_asr_flash_grads_match_dense_with_remat(asr_setup):
+    """remat + flash composes: gradients of the loss match dense."""
+    cfg, params, batch = asr_setup
+
+    def loss(impl, remat):
+        def f(p):
+            return st5.asr_loss(p, cfg, batch["input_values"],
+                                batch["attention_mask"], batch["labels"],
+                                deterministic=True, remat=remat,
+                                attn_impl=impl)[0]
+        return jax.value_and_grad(f)(params)
+
+    l_d, g_d = loss("dense", False)
+    l_f, g_f = loss("flash", True)
+    np.testing.assert_allclose(float(l_f), float(l_d), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_asr_train_step_rejects_dropout_silently_lost():
+    """A training cfg WITH attention dropout must not silently fall back to
+    dense under attn_impl='flash' — make_asr_train_step zeroes the
+    attention-prob dropout explicitly (documented policy) so the kernel
+    actually runs."""
+    cfg = tiny_config()  # attention_dropout=0.1 default
+    assert cfg.attention_dropout > 0
+    mesh = meshlib.make_mesh(data=1)
+    tx = optax.adamw(1e-3)
+    step = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                     attn_impl="flash")
+    params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_values": jnp.asarray(
+            rng.standard_normal((2, 1600)).astype(np.float32) * 0.1),
+        "attention_mask": jnp.ones((2, 1600), jnp.int32),
+        "labels": jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 7))),
+    }
+    opt = tx.init(params)
+    _, _, m = step(params, opt, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.slow
+def test_lm_train_step_ring_matches_dense_on_mesh():
+    """GPT-2 train step with ring SP over a 2-device virtual sequence mesh:
+    loss + grads match the single-device dense step."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=16, n_head=2,
+                             embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {"ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32))),
+             "lengths": jnp.asarray([32, 20], jnp.int32)}
+    tx = optax.adamw(1e-3)
+    mesh1 = meshlib.make_mesh(data=1)
+
+    dense = train.make_lm_train_step(cfg, mesh1, tx, donate=False)
+    p_d, _, m_d = dense(params, tx.init(params), batch, jax.random.PRNGKey(1))
+
+    sp_mesh = Mesh(np.asarray(jax.devices()[:2]), ("sequence",))
+    ring_step = train.make_lm_train_step(
+        cfg, sp_mesh, tx, donate=False, attn_impl="ring",
+        ring=(sp_mesh, "sequence"))
+    sharded = {"ids": jax.device_put(batch["ids"],
+                                     NamedSharding(sp_mesh, P(None, "sequence"))),
+               "lengths": jax.device_put(batch["lengths"],
+                                         NamedSharding(sp_mesh, P()))}
+    p_params = jax.device_put(params, NamedSharding(sp_mesh, P()))
+    p_r, _, m_r = ring_step(p_params, tx.init(p_params), sharded,
+                            jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_d["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p_d)),
+                    jax.tree_util.tree_leaves(jax.device_get(p_r))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_lm_train_step_ulysses_matches_dense_on_mesh():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=16, n_head=2,
+                             embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {"ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32))),
+             "lengths": jnp.asarray([32, 26], jnp.int32)}
+    tx = optax.adamw(1e-3)
+
+    dense = train.make_lm_train_step(cfg, meshlib.make_mesh(data=1), tx,
+                                     donate=False)
+    p_d, _, m_d = dense(params, tx.init(params), batch, jax.random.PRNGKey(1))
+
+    sp_mesh = Mesh(np.asarray(jax.devices()[:2]), ("sequence",))
+    u_step = train.make_lm_train_step(
+        cfg, sp_mesh, tx, donate=False, attn_impl="ulysses",
+        ring=(sp_mesh, "sequence"))
+    sharded = {"ids": jax.device_put(batch["ids"],
+                                     NamedSharding(sp_mesh, P(None, "sequence"))),
+               "lengths": jax.device_put(batch["lengths"],
+                                         NamedSharding(sp_mesh, P()))}
+    p_params = jax.device_put(params, NamedSharding(sp_mesh, P()))
+    p_u, _, m_u = u_step(p_params, tx.init(p_params), sharded,
+                         jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_u["loss"]), float(m_d["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p_d)),
+                    jax.tree_util.tree_leaves(jax.device_get(p_u))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_lm_train_step_flash_matches_dense():
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=16, n_head=2,
+                             embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {"ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32))),
+             "lengths": jnp.asarray([32, 20], jnp.int32)}
+    tx = optax.adamw(1e-3)
+    mesh = meshlib.make_mesh(data=1)
+
+    outs = {}
+    for impl in ("dense", "flash"):
+        step = train.make_lm_train_step(cfg, mesh, tx, donate=False,
+                                        attn_impl=impl)
+        p2, _, m = step(params, tx.init(params), batch, jax.random.PRNGKey(1))
+        outs[impl] = (jax.device_get(p2), float(m["loss"]))
+    np.testing.assert_allclose(outs["flash"][1], outs["dense"][1],
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["dense"][0]),
+                    jax.tree_util.tree_leaves(outs["flash"][0])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)

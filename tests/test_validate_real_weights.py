@@ -17,6 +17,8 @@ sys.path.insert(0, ".")
 
 from scripts import validate_real_weights as v  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy tier: full pipeline drives / virtual-mesh collectives
+
 
 @pytest.fixture(scope="module")
 def tiny_speecht5_dir(tmp_path_factory):

@@ -38,6 +38,7 @@ def test_hifigan_parity():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_hifigan_unbatched():
     cfg = vocoder.tiny_hifigan_config()
     params = vocoder.hifigan_init(jax.random.PRNGKey(0), cfg)
