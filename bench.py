@@ -90,6 +90,8 @@ def bench_torch_cpu() -> float:
 
 
 def main() -> int:
+    from loco_asr_tpu.pipelines.common import setup_compilation_cache
+    setup_compilation_cache()  # second run skips the relay compile
     ours = bench_jax()
     ref = bench_torch_cpu()
     print(json.dumps({
