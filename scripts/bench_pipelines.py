@@ -351,13 +351,19 @@ def bench_conversations(n_convs: int, utts_per_conv: int, slots: int,
                                         cache, start)
                 ctx.append(np.asarray(toks), np.asarray(lens), cache)
 
-    # warm both paths (compile), then measure
-    run_sequential(convs[:1])
+    # Warm both paths on the FULL workload (compile), then measure the
+    # second run.  The batcher's admission path compiles one program per
+    # pow-2 bucket size (1..slots) and those shapes only appear as slots
+    # drain, so a 1-conversation warm-up leaves relay compiles inside the
+    # measured region (first measurement of this bench: 25.3 s with
+    # compiles inside the window).  Production runs amortize these
+    # compiles via the persistent compilation cache (pipelines/common.py).
+    run_sequential(convs)
     t0 = time.perf_counter()
     run_sequential(convs)
     t_seq = time.perf_counter() - t0
 
-    decode_conversations(params, cfg, convs[:1], fusion=fusion, slots=slots,
+    decode_conversations(params, cfg, convs, fusion=fusion, slots=slots,
                          max_len=max_len, audio_samples=bucket,
                          encode_fn=enc_fn, decode_reserve=reserve)
     t0 = time.perf_counter()
