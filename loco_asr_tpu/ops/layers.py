@@ -135,6 +135,31 @@ def conv1d(params, x: jnp.ndarray, *, stride: int = 1, padding: int = 0,
     return y
 
 
+def conv1d_nhc(x: jnp.ndarray, w_oih: jnp.ndarray, *, stride: int = 1,
+               padding: int = 0, groups: int = 1,
+               bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """1-D convolution on time-major [B, T, C] input with torch OIH weights.
+
+    Numerically identical to :func:`conv1d` on the transposed operands
+    (same contraction order), but keeps channels in the minor (lane)
+    dimension end-to-end, which is the native TPU layout: on the
+    batch-16x5s encoder prenet this removes an 813 us relayout copy
+    between conv layers and runs the grouped positional conv ~1.8x
+    faster (traced; docs/BENCH.md round-3 profiling section).
+    """
+    wh = jnp.transpose(w_oih, (2, 1, 0)).astype(x.dtype)   # OIH -> HIO
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        x, wh, window_strides=(stride,), padding=[(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def weight_norm_conv1d_init(rng, in_ch: int, out_ch: int, kernel: int, *,
                             groups: int = 1, dtype=jnp.float32):
     """Weight-normalized conv (dim=2 over the kernel axis, torch parity).
