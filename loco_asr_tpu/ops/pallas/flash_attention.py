@@ -227,17 +227,21 @@ _flash_attention.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
-def _rel_shear_table(pe_pad: jnp.ndarray, block_q: int, wp: int) -> jnp.ndarray:
-    """[Wp, D] zero-padded rel-PE table -> sheared [block_q, Wp, D] table with
-    peS[r, j] = pe_pad[(r - j) mod Wp], so that einsum(q, peS) directly yields
-    the per-row sheared qpe the kernel consumes."""
-    r = jnp.arange(block_q)[:, None]
-    j = jnp.arange(wp)[None, :]
-    return jnp.take(pe_pad, (r - j) % wp, axis=0)
+def _rel_rev_table(pe_pad: jnp.ndarray, wp: int) -> jnp.ndarray:
+    """[Wp, D] zero-padded rel-PE table -> reversed table with
+    P_rev[m] = pe_pad[(-m) mod Wp].  The kernel computes
+    qrev = (scale*q) @ P_rev^T in VMEM and per-row-rolls it into the
+    sheared form y[r, j] = qpe[r, (r - j) mod Wp] — the whole
+    [B, H, Tq, Wp] sheared-qpe tensor never touches HBM (it used to be
+    einsum-materialized host-side: ~150 MB/layer of HBM round-trip at
+    batch 16, which made the kernel LOSE to dense attention below
+    ~2k frames)."""
+    idx = (-jnp.arange(wp)) % wp
+    return jnp.take(pe_pad, idx, axis=0)
 
 
-def _flash_rel_kernel(q_ref, k_ref, v_ref, y_ref, vl_ref, o_ref, lse_ref,
-                      m_scr, l_scr, acc_scr, *,
+def _flash_rel_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, o_ref, lse_ref,
+                      m_scr, l_scr, acc_scr, y_scr, *,
                       scale: float, causal: bool, block_q: int, block_k: int,
                       num_k_blocks: int, rel_max: int, wp: int):
     qi = pl.program_id(1)
@@ -248,6 +252,21 @@ def _flash_rel_kernel(q_ref, k_ref, v_ref, y_ref, vl_ref, o_ref, lse_ref,
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        # sheared pre-scaled qpe for this q block, built fully in VMEM:
+        # one [Bq, D] x [D, Wp] MXU matmul against the reversed PE table,
+        # then a per-row roll-right by r (log-step doubling: roll the
+        # whole tile by 2^b and keep it for rows with bit b set).
+        qf = q_ref[0].astype(jnp.float32) * scale
+        prv = prev_ref[...].astype(jnp.float32)           # [Wp, D]
+        y = jax.lax.dot_general(qf, prv, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 0)
+        bit = 1
+        while bit < block_q:
+            rolled = pltpu.roll(y, bit, axis=1)
+            y = jnp.where((rows & bit) != 0, rolled, y)
+            bit *= 2
+        y_scr[:] = y
 
     q_start = qi * block_q
     k_start = ki * block_k
@@ -262,7 +281,7 @@ def _flash_rel_kernel(q_ref, k_ref, v_ref, y_ref, vl_ref, o_ref, lse_ref,
                                 preferred_element_type=jnp.float32) * scale
 
         # --- relative-position band (y is pre-scaled sheared qpe) ---
-        y = y_ref[0].astype(jnp.float32)                  # [Bq, Wp]
+        y = y_scr[...]                                    # [Bq, Wp]
         d_off = q_start - k_start
         t = jax.lax.rem(d_off + rel_max, wp)
         t = jnp.where(t < 0, t + wp, t)
@@ -315,7 +334,7 @@ def _flash_rel_forward(q, k, v, pe, valid_len, *, causal, scale, block_q,
     tk = k.shape[2]
     rel_max = pe.shape[0] // 2
     block_q = min(block_q, _round_up(max(8, tq), 8))
-    block_k = min(block_k, _LANES)
+    block_k = min(max(8, block_k), _round_up(tk, 8))
     wp = _round_up(max(2 * rel_max, block_k), _LANES)
 
     pq = -tq % block_q
@@ -327,14 +346,10 @@ def _flash_rel_forward(q, k, v, pe, valid_len, *, causal, scale, block_q,
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
     tq_p, tk_p = q.shape[2], k.shape[2]
 
-    # sheared, pre-scaled qpe: y[.., i, j] = scale * q[i] . pe[(i%Bq - j) % Wp]
+    # Reversed, zero-padded PE table; the kernel builds the sheared qpe
+    # in VMEM from this [Wp, D] constant (see _rel_rev_table).
     pe_pad = jnp.pad(pe.astype(jnp.float32), ((0, wp - 2 * rel_max), (0, 0)))
-    pe_sheared = _rel_shear_table(pe_pad, block_q, wp)     # [Bq, Wp, D]
-    qb = q.reshape(b, h, tq_p // block_q, block_q, d).astype(jnp.float32)
-    y = jnp.einsum("bhnrd,rjd->bhnrj", qb * scale, pe_sheared,
-                   precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
-    y = y.reshape(b, h, tq_p, wp)
+    pe_rev = _rel_rev_table(pe_pad, wp)                    # [Wp, D]
 
     vl = jnp.broadcast_to(
         jnp.minimum(valid_len, tk).astype(jnp.int32)[:, None, None, None],
@@ -343,7 +358,6 @@ def _flash_rel_forward(q, k, v, pe, valid_len, *, causal, scale, block_q,
     qf = q.reshape(b * h, tq_p, d)
     kf = k.reshape(b * h, tk_p, d)
     vf = v.reshape(b * h, tk_p, d)
-    yf = y.reshape(b * h, tq_p, wp)
     vlf = vl.reshape(b * h, 8, _LANES)
     num_q = tq_p // block_q
     num_k = tk_p // block_k
@@ -359,7 +373,7 @@ def _flash_rel_forward(q, k, v, pe, valid_len, *, causal, scale, block_q,
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_q, wp), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((wp, d), lambda bh, qi, ki: (0, 0)),
             pl.BlockSpec((1, 8, _LANES), lambda bh, qi, ki: (bh, 0, 0)),
         ],
         out_specs=(
@@ -374,9 +388,10 @@ def _flash_rel_forward(q, k, v, pe, valid_len, *, causal, scale, block_q,
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, wp), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf, yf, vlf)
+    )(qf, kf, vf, pe_rev, vlf)
 
     out = out.reshape(b, h, tq_p, d)[:, :, :tq]
     lse = lse[..., 0].reshape(b, h, tq_p)[:, :, :tq]
@@ -501,7 +516,7 @@ def flash_attention(
     causal: bool = True, scale: Optional[float] = None,
     rel_pe: Optional[jnp.ndarray] = None,
     kv_valid_len: Optional[jnp.ndarray] = None,
-    block_q: int = 128, block_k: int = 128,
+    block_q: int = 128, block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """[B, H, T, D] q/k/v -> [B, H, Tq, D] attention output.
@@ -515,13 +530,20 @@ def flash_attention(
     kv_valid_len: optional [B] int32 valid key count per batch row; keys at
       or beyond it are masked (variable-length/non-causal batches).  Without
       it, non-causal padding requires Tk % block_k == 0 on the plain path.
+    block_k: kv block size; None picks 128 for the plain kernel and, for
+      the rel/masked kernel, a single k block up to 1024 keys (short
+      sequences skip the streaming-softmax renormalization entirely and
+      run as one fused VMEM-resident pass).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     if rel_pe is None and kv_valid_len is None:
-        return _flash_attention(q, k, v, causal, scale, block_q, block_k,
+        return _flash_attention(q, k, v, causal, scale, block_q,
+                                block_k if block_k is not None else _LANES,
                                 interpret)
+    if block_k is None:
+        block_k = min(_round_up(k.shape[2], _LANES), 1024)
     b = q.shape[0]
     tk = k.shape[2]
     if kv_valid_len is None:
