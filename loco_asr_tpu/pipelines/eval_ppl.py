@@ -81,6 +81,13 @@ def parse_arguments(argv=None):
                    help="sequence-parallel scheme: 'ring' rotates K/V on "
                         "the ICI ring; 'ulysses' head-scatters via "
                         "all-to-all (needs n_head %% devices == 0)")
+    p.add_argument("--attn_impl", choices=["dense", "flash"], default="dense",
+                   help="single-chip attention path for scoring windows: "
+                        "'flash' streams causal attention through the "
+                        "Pallas kernel — no [B,H,T,T] score tensor, so "
+                        "the multi-pass softmax HBM traffic that "
+                        "dominates dense scoring at T=1024 disappears "
+                        "(same numbers; see test_gpt2_parity)")
     return p.parse_args(argv)
 
 
@@ -160,7 +167,12 @@ def main(argv=None) -> int:
 
     # score_tokens = chunked lm head: never materializes the [B, T, V]
     # logits (1.6 GB at gpt2/[128,1024]); same numbers as the dense path
-    score = jax.jit(lambda p, ids: g.score_tokens(p, cfg, ids))
+    score = jax.jit(lambda p, ids: g.score_tokens(p, cfg, ids,
+                                                  attn_impl=args.attn_impl))
+    if args.attn_impl != "dense" and args.sequence_parallel > 1:
+        raise SystemExit("--attn_impl applies to single-chip scoring; "
+                         "--sequence_parallel already picks its own "
+                         "kernel via --sp_impl")
     if args.sequence_parallel > 1 and args.data_parallel > 1:
         raise SystemExit("--sequence_parallel and --data_parallel are "
                          "mutually exclusive (use a 2-D mesh via train_lm "

@@ -37,7 +37,7 @@ PEAK_FLOPS = 197e12
 WWW = {}
 
 
-def bench_ppl(bsize: int, max_len: int, model: str):
+def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +51,8 @@ def bench_ppl(bsize: int, max_len: int, model: str):
                                    (bsize, max_len)).astype(np.int32))
 
     def score(p, ids):
-        nll = g.score_tokens(p, cfg, ids)  # chunked lm head (eval_ppl path)
+        # chunked lm head (eval_ppl path); attn_impl mirrors --attn_impl
+        nll = g.score_tokens(p, cfg, ids, attn_impl=attn_impl)
         return jnp.mean(nll)  # consume every element (no DCE of the batch)
 
     per = device_time_per_iter(score, params, ids, iters=10)
@@ -64,7 +65,8 @@ def bench_ppl(bsize: int, max_len: int, model: str):
         "ppl_streaming_useful_tokens_per_s": bsize * (max_len // 2) / per,
         "ppl_fwd_mfu_pct": 100 * flops / per / PEAK_FLOPS,
     }
-    print(f"eval_ppl [{model}, {bsize}x{max_len}]: {per*1e3:.2f} ms/window-batch"
+    print(f"eval_ppl [{model} {attn_impl}, {bsize}x{max_len}]: "
+          f"{per*1e3:.2f} ms/window-batch"
           f" -> indep {rows['ppl_indep_tokens_per_s']:,.0f} tok/s,"
           f" max_len {rows['ppl_max_len_useful_tokens_per_s']:,.0f} useful tok/s,"
           f" streaming {rows['ppl_streaming_useful_tokens_per_s']:,.0f} tok/s"
@@ -396,6 +398,8 @@ def main(argv=None):
     p.add_argument("--ppl_bsize", type=int, default=8)
     p.add_argument("--ppl_max_len", type=int, default=1024)
     p.add_argument("--ppl_model", default="gpt2")
+    p.add_argument("--ppl_attn_impl", choices=["dense", "flash"],
+                   default="dense")
     p.add_argument("--train_batch", type=int, default=8)
     p.add_argument("--train_seconds", type=float, default=5.0)
     p.add_argument("--train_label_len", type=int, default=128)
@@ -407,7 +411,8 @@ def main(argv=None):
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
           file=sys.stderr)
     if args.only in (None, "ppl"):
-        bench_ppl(args.ppl_bsize, args.ppl_max_len, args.ppl_model)
+        bench_ppl(args.ppl_bsize, args.ppl_max_len, args.ppl_model,
+                  args.ppl_attn_impl)
     if args.only in (None, "train"):
         bench_train(args.train_batch, args.train_seconds, args.train_label_len)
     if args.only in (None, "decode"):

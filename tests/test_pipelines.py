@@ -182,6 +182,27 @@ def test_eval_ppl_indep(fisher_text, tmp_path):
     assert total > 0
 
 
+def test_eval_ppl_attn_impl_flash_matches_dense(fisher_text, tmp_path):
+    """--attn_impl flash (Pallas causal kernel, interpret mode on CPU) must
+    reproduce the dense scorer's per-recording NLLs (the eval_ppl TPU fast
+    path; kernel-level parity is pinned in test_gpt2_parity)."""
+    from loco_asr_tpu.pipelines import eval_ppl
+
+    outs = {}
+    for impl in ("dense", "flash"):
+        out = tmp_path / impl
+        rc = eval_ppl.main(["-i", fisher_text, "-o", str(out), "--model",
+                            "tiny", "--context_type", "max_len", "--bsize",
+                            "7", "--max_len", "24", "--attn_impl", impl])
+        assert rc == 0
+        with open(out / "rec_id2nlls.pkl", "rb") as f:
+            outs[impl] = pickle.load(f)
+    assert set(outs["dense"]) == set(outs["flash"])
+    for rec in outs["dense"]:
+        np.testing.assert_allclose(outs["dense"][rec], outs["flash"][rec],
+                                   rtol=0, atol=2e-5)
+
+
 def test_eval_ppl_max_len_matches_reference_algorithm(fisher_text, tmp_path):
     """Our batched max_len scorer must produce the same per-recording NLL
     lists as a direct re-execution of the reference's stride-1 loop."""
