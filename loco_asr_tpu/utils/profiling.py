@@ -41,12 +41,16 @@ def device_time_per_iter(fn: Callable, *args, iters: int = 20,
 
     ``fn`` must be a pure jax function of its args; a scalar carry is mixed
     into the first argument each iteration so no two iterations compute
-    identical values (defeats any execution caching along the path).
+    identical values, AND every execution gets a fresh scalar ``salt`` so
+    no two *calls* are identical either.  Both matter on this relay TPU:
+    without the salt, the timed call repeats the warm call bit-for-bit and
+    the relay sometimes serves it from a result cache, reading ~0 ms
+    (observed on the flash-attention sweep, docs/BENCH.md round-3 note).
     """
 
     def chained(n):
         @jax.jit
-        def run(*a):
+        def run(salt, *a):
             def body(i, carry):
                 perturbed = jax.tree_util.tree_map(
                     lambda x: (x + carry * jnp.asarray(1e-9, x.dtype)
@@ -57,17 +61,17 @@ def device_time_per_iter(fn: Callable, *args, iters: int = 20,
                 leaves = [l for l in jax.tree_util.tree_leaves(out)
                           if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
                 return leaves[0].ravel()[0].astype(jnp.float32) if leaves else carry
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, salt * jnp.float32(1e-9))
         return run
 
     lo, hi = chained(warmup_iters), chained(warmup_iters + iters)
-    float(lo(*args))
-    float(hi(*args))
+    float(lo(jnp.float32(1.0), *args))
+    float(hi(jnp.float32(2.0), *args))
     t0 = time.perf_counter()
-    float(lo(*args))
+    float(lo(jnp.float32(3.0), *args))
     d_lo = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(hi(*args))
+    float(hi(jnp.float32(4.0), *args))
     d_hi = time.perf_counter() - t0
     return max((d_hi - d_lo) / iters, 1e-9)
 
