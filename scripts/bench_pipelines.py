@@ -103,9 +103,12 @@ def bench_train(batch: int, seconds: float, label_len: int):
 
     def step(p, opt, b, r):
         new_p, new_opt, m = step_fn(p, opt, b, r)
-        # consume params + loss so nothing is dead code
-        lens = jax.tree_util.tree_leaves(new_p)
-        return m["loss"] + sum(jnp.mean(x) for x in lens[:4])
+        # consume EVERY updated leaf: Adam is elementwise, so any leaf
+        # left unread lets XLA DCE that parameter's dW matmul and update.
+        # The previous form read only 4 leaves and understated step time
+        # (see docs/BENCH.md round-3 correction)
+        tot = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_p))
+        return m["loss"] + m["grad_norm"] + tot * 1e-20
 
     key = jax.random.PRNGKey(0)
     per = device_time_per_iter(step, params, opt_state, batch_d, key, iters=8)
@@ -169,8 +172,10 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
 
     def step(p, opt, b, r):
         new_p, new_opt, m = step_fn(p, opt, b, r)
-        lens = jax.tree_util.tree_leaves(new_p)
-        return m["loss"] + sum(jnp.mean(x) for x in lens[:4])
+        # consume EVERY updated leaf — see bench_train for why [:4] was
+        # a DCE hole that undermeasured the backward
+        tot = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_p))
+        return m["loss"] + m["grad_norm"] + tot * 1e-20
 
     per = device_time_per_iter(step, params, opt_state, batch_d,
                                jax.random.PRNGKey(0), iters=4)
