@@ -147,6 +147,21 @@ def conv1d_nhc(x: jnp.ndarray, w_oih: jnp.ndarray, *, stride: int = 1,
     between conv layers and runs the grouped positional conv ~1.8x
     faster (traced; docs/BENCH.md round-3 profiling section).
     """
+    if jax.default_backend() != "tpu":
+        # XLA:CPU's channels-last 1-D conv lowering compiles pathologically
+        # slowly (the tiny-config train step went 38 s -> many MINUTES of
+        # compile at T=16k samples, bisected to exactly this layout change);
+        # route through the channel-major kernel + transposes there — the
+        # numbers are identical and XLA fuses/cancels the transposes.
+        y = jax.lax.conv_general_dilated(
+            jnp.transpose(x, (0, 2, 1)), w_oih.astype(x.dtype),
+            window_strides=(stride,), padding=[(padding, padding)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=groups)
+        y = jnp.transpose(y, (0, 2, 1))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     wh = jnp.transpose(w_oih, (2, 1, 0)).astype(x.dtype)   # OIH -> HIO
     if padding:
         x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))

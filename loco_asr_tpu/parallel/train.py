@@ -40,6 +40,60 @@ def reference_adam(learning_rate: float = 1e-3, weight_decay: float = 1e-4):
                        optax.scale_by_adam(), optax.scale(-learning_rate))
 
 
+def _jit_step_pinned(step: Callable, mesh: Mesh, donate: bool) -> Callable:
+    """jit ``step(params, opt_state, batch, rng)`` with out_shardings pinned
+    to the INPUT shardings of params/opt_state (metrics replicated).
+
+    Without the pin, GSPMD chooses its own output shardings and the first
+    step's params come back laid out differently than they went in (e.g.
+    a PartitionSpec(None) bias returned as PartitionSpec('tensor')), so
+    the SECOND call recompiles the entire program — measured as a full
+    extra compile in every trainer process (273 s on this CPU box, minutes
+    of relay time on the TPU) — and the parameter layout silently drifts
+    off partition.TRANSFORMER_RULES.  Pinning makes step's output sharding
+    a fixed point of its input sharding: one compile, stable layout, and
+    donated buffers are actually reusable.
+
+    When called under an outer trace (the bench harness jits a chained
+    loop around the step), tracers carry no committed sharding — the
+    plain jit is used; it inlines into the outer program, which compiles
+    once anyway.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    donate_argnums = (0, 1) if donate else ()
+    plain = jax.jit(step, donate_argnums=donate_argnums)
+    repl = NamedSharding(mesh, PartitionSpec())
+    cache: Dict[str, Callable] = {}
+
+    def _named(x):
+        s = getattr(x, "sharding", None)
+        return s if isinstance(s, NamedSharding) else repl
+
+    def _canon(tree):
+        # normalize stray single-device leaves (e.g. the optax count
+        # scalar from tx.init) so call 1 and call 2 share a cache key
+        return jax.tree_util.tree_map(
+            lambda x: x if isinstance(getattr(x, "sharding", None),
+                                      NamedSharding)
+            else jax.device_put(x, repl), tree)
+
+    def call(params, opt_state, batch, rng):
+        leaves = jax.tree_util.tree_leaves((params, opt_state))
+        if any(isinstance(l, jax.core.Tracer) for l in leaves):
+            return plain(params, opt_state, batch, rng)
+        params, opt_state = _canon(params), _canon(opt_state)
+        if "fn" not in cache:
+            outsh = (jax.tree_util.tree_map(_named, params),
+                     jax.tree_util.tree_map(_named, opt_state),
+                     repl)
+            cache["fn"] = jax.jit(step, donate_argnums=donate_argnums,
+                                  out_shardings=outsh)
+        return cache["fn"](params, opt_state, batch, rng)
+
+    return call
+
+
 def make_asr_train_step(
     cfg: SpeechT5Config,
     mesh: Mesh,
@@ -82,7 +136,7 @@ def make_asr_train_step(
         gnorm = optax.global_norm(grads)
         return params, opt_state, {"loss": loss, "grad_norm": gnorm, **aux}
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    return _jit_step_pinned(step, mesh, donate)
 
 
 def make_lm_train_step(
@@ -125,7 +179,7 @@ def make_lm_train_step(
         return params, opt_state, {"loss": loss,
                                    "grad_norm": optax.global_norm(grads), **aux}
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    return _jit_step_pinned(step, mesh, donate)
 
 
 def pad_batch(batch: Dict[str, Any], multiple: int,

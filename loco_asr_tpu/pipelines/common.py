@@ -32,8 +32,18 @@ def setup_compilation_cache(enabled: Optional[bool] = None,
     """
     import jax
 
+    env = os.environ.get("LOCO_COMPILE_CACHE")
     if enabled is None:
-        enabled = os.environ.get("LOCO_COMPILE_CACHE", "1") != "0"
+        if env is not None:
+            enabled = env != "0"
+        else:
+            # The cache exists to skip the REMOTE TPU compiler (minutes per
+            # full-size program).  On the CPU backend it is a measured
+            # pessimization: deserializing a cached AOT CPU executable took
+            # ~127 s for a train step that compiles in ~20 s (machine-feature
+            # mismatch in cpu_aot_loader forces a slow load path), which
+            # multiplied every pipeline test's wall time.  Default: TPU only.
+            enabled = jax.default_backend() == "tpu"
     if not enabled:
         return None
     cache_dir = cache_dir or os.environ.get(

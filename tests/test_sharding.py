@@ -80,6 +80,20 @@ def test_sharded_asr_train_step(mesh8):
     after = jax.tree_util.tree_leaves(p1)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
+    # Output shardings must be a FIXED POINT of the input shardings:
+    # without the out_shardings pin GSPMD returned some params with a
+    # different PartitionSpec (e.g. a replicated bias came back sharded on
+    # 'tensor'), so feeding step outputs into the next step recompiled the
+    # whole program (a full extra relay compile per trainer process) and
+    # the layout drifted off partition.TRANSFORMER_RULES.
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p1)):
+        assert a.sharding == b.sharding, (a.sharding, b.sharding)
+    p2, o2, _ = step(p1, o1, batch, jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree_util.tree_leaves((p1, o1)),
+                    jax.tree_util.tree_leaves((p2, o2))):
+        assert a.sharding == b.sharding, (a.sharding, b.sharding)
+
 
 def test_multislice_mesh_falls_back_single_slice():
     # CPU devices report no slice_index -> single slice -> plain mesh
