@@ -64,7 +64,8 @@ def test_cli_reports_all_checks(tiny_gpt2_dir, tmp_path):
     rows = json.loads(out.read_text())
     names = {r["check"] for r in rows}
     assert names == {"speecht5-hf-encoder-parity", "speecht5-base-graft",
-                     "gpt2-nll-parity", "slurp-embedding-parity"}
+                     "gpt2-nll-parity", "slurp-embedding-parity",
+                     "shorten-sph2pipe-golden"}
     by = {r["check"]: r for r in rows}
     assert by["gpt2-nll-parity"]["status"] == "pass"
     assert by["speecht5-hf-encoder-parity"]["status"] == "skipped"
