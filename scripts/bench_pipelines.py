@@ -74,7 +74,8 @@ def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
     WWW.update(rows)
 
 
-def bench_train(batch: int, seconds: float, label_len: int):
+def bench_train(batch: int, seconds: float, label_len: int,
+                remat: bool = False, bf16: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -86,10 +87,15 @@ def bench_train(batch: int, seconds: float, label_len: int):
     cfg = SpeechT5Config()
     mesh = meshlib.make_mesh(-1, 1, 1)
     params = common.load_speecht5_params(None, "asr", cfg, jax.random.PRNGKey(0))
+    if bf16:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
     params = partition.shard_params(params, mesh)
     tx = train.adamw(1e-4, 0.01, 10, 1000)
     opt_state = tx.init(params)
-    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False)
+    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                        remat=remat)
 
     rng = np.random.default_rng(0)
     t = int(seconds * 16000)
@@ -408,6 +414,8 @@ def main(argv=None):
     p.add_argument("--train_batch", type=int, default=8)
     p.add_argument("--train_seconds", type=float, default=5.0)
     p.add_argument("--train_label_len", type=int, default=128)
+    p.add_argument("--train_remat", action="store_true")
+    p.add_argument("--train_bf16", action="store_true")
     p.add_argument("--decode_seconds", type=float, default=60.0)
     p.add_argument("--decode_len", type=int, default=200)
     args = p.parse_args(argv)
@@ -419,7 +427,8 @@ def main(argv=None):
         bench_ppl(args.ppl_bsize, args.ppl_max_len, args.ppl_model,
                   args.ppl_attn_impl)
     if args.only in (None, "train"):
-        bench_train(args.train_batch, args.train_seconds, args.train_label_len)
+        bench_train(args.train_batch, args.train_seconds, args.train_label_len,
+                    remat=args.train_remat, bf16=args.train_bf16)
     if args.only in (None, "decode"):
         bench_decode(args.decode_seconds, args.decode_len)
     if args.only == "cont":
