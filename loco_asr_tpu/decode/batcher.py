@@ -640,14 +640,24 @@ def decode_conversations(
         raise ValueError("conversation carry-over requires a fusion LM — "
                          "the carried state IS the LM context")
     convs = [(cid, list(wavs)) for cid, wavs in conversations]
+    empty = [cid for cid, wavs in convs if not wavs]
+    convs = [(cid, wavs) for cid, wavs in convs if wavs]
     if not convs:
-        return {}
+        return {cid: [] for cid in empty}
     max_positions = max_positions or fusion.cfg.n_positions
     if decode_reserve < max_len + 1:
         raise ValueError(
             f"decode_reserve={decode_reserve} must be >= max_len+1="
             f"{max_len + 1}: an utterance admitted at the window edge "
             f"writes up to max_len LM positions past its offset")
+    if max_len + 1 > max_positions:
+        # a single utterance would write LM positions past the cache —
+        # those one-hot KV writes are silently dropped and the decoded
+        # tokens diverge from the sequential reference with no error
+        raise ValueError(
+            f"max_len={max_len} does not fit the LM context "
+            f"(max_positions={max_positions}); lower max_len or use an "
+            f"LM with a longer context")
     if audio_samples is None:
         audio_samples = max(len(w) for _, wavs in convs for w in wavs)
     for cid, wavs in convs:
@@ -668,6 +678,8 @@ def decode_conversations(
     lm_off = np.zeros((slots,), np.int32)
     results: Dict[str, List[Tuple[np.ndarray, int]]] = \
         {cid: [] for cid, _ in convs}
+    for cid in empty:                  # zero-utterance conversations
+        results[cid] = []
     state: Optional[SlotState] = None
     lm_cache: Optional[Dict] = None
 
@@ -702,10 +714,14 @@ def decode_conversations(
         hist = (np.concatenate(slot_hist[i]) if slot_hist[i]
                 else np.zeros((0,), np.int32))
         limit = max_positions - decode_reserve
-        keep = min(len(hist) // 2, limit)
-        tail = hist[len(hist) - keep:]
+        keep = max(0, min(len(hist) // 2, limit))
+        tail = hist[len(hist) - keep:] if keep else hist[:0]
         slot_hist[i] = [tail]
-        lm_off[i] = keep
+        # len(tail), NOT keep: context.py._refresh sets offsets from the
+        # kept tail, and when decode_reserve >= max_positions (degenerate
+        # no-carry-over regime) keep clamps at 0 — a negative lm_off would
+        # silently drop every later KV write for the slot
+        lm_off[i] = len(tail)
         row = fusion.init_cache(1, max_positions)
         if keep > 0:
             row, _ = fusion.prime(jnp.asarray(tail[None]), row,

@@ -87,9 +87,17 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k, interpret):
     block_k = min(max(8, block_k), _round_up(tk, 8))
     pq = -tq % block_q
     pk = -tk % block_k
-    if not causal and pk:
-        raise ValueError("non-causal flash requires Tk % block_k == 0 "
-                         "(padded keys would enter the softmax)")
+    if not causal:
+        # padded keys would enter the softmax, so Tk must divide evenly;
+        # halve block_k until it does (keeps Tk=384-style callers working
+        # after the 128 -> 256 default-block bump) rather than erroring
+        while pk and block_k > 8:
+            block_k = max(8, block_k // 2)
+            pk = -tk % block_k
+        if pk:
+            raise ValueError("non-causal flash requires Tk % block_k == 0 "
+                             "(padded keys would enter the softmax); "
+                             f"Tk={tk} has no 8-aligned block divisor")
     if pq or pk:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
         # pad keys with NEG_INF-safe zeros; causal mask excludes them for

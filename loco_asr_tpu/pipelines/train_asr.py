@@ -191,6 +191,12 @@ def main(argv=None) -> int:
     epoch = 0
     t0 = time.perf_counter()
     stream = batch_stream(epoch)
+    init_snap = None
+    if args.nan_recovery:
+        # rollback target when no checkpoint exists yet (a NaN that lands
+        # in params before the first save would otherwise survive the
+        # rollback — restore returns None)
+        init_snap = (jax.device_get(params), jax.device_get(opt_state))
     while step < args.steps:
         try:
             batch = next(stream)
@@ -223,6 +229,11 @@ def main(argv=None) -> int:
                 params = partition.shard_params(restored["params"], mesh)
                 opt_state = jax.tree_util.tree_map(jnp.asarray,
                                                    restored["opt_state"])
+            else:
+                print("no checkpoint yet; restoring initial state",
+                      file=sys.stderr)
+                params = partition.shard_params(init_snap[0], mesh)
+                opt_state = jax.tree_util.tree_map(jnp.asarray, init_snap[1])
             continue
         params, opt_state = new_params, new_opt
         step += 1

@@ -191,6 +191,12 @@ def main(argv=None) -> int:
     epoch = 0
     stream = batches(epoch)
     t0 = time.perf_counter()
+    init_snap = None
+    if args.nan_recovery:
+        # rollback target when no checkpoint exists yet — without it a
+        # NaN before the first save left params poisoned and the loop
+        # never advanced (restore returned None, step never incremented)
+        init_snap = (jax.device_get(params), jax.device_get(opt_state))
     while step < args.steps:
         try:
             batch = next(stream)
@@ -220,6 +226,11 @@ def main(argv=None) -> int:
                 params = partition.shard_params(restored["params"], mesh)
                 opt_state = jax.tree_util.tree_map(jnp.asarray,
                                                    restored["opt_state"])
+            else:
+                print("no checkpoint yet; restoring initial state",
+                      file=sys.stderr)
+                params = partition.shard_params(init_snap[0], mesh)
+                opt_state = jax.tree_util.tree_map(jnp.asarray, init_snap[1])
             continue
         params, opt_state = new_params, new_opt
         step += 1

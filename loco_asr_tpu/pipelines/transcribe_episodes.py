@@ -141,22 +141,29 @@ def _run_continuous(args, cfg, params, fusion, tokenizer, episodes,
     for ep in episodes:
         wav, wsr = load_audio(ep.audio_path, sr)
         audio_seconds += len(wav) / sr
-        segs = ([(s.start, s.end) for s in ep.segments] if ep.segments
-                else segment_by_energy(wav, sr,
-                                       max_segment_s=args.batch_seconds))
+        if ep.segments:
+            segs = [(s.start, s.end, s.text) for s in ep.segments]
+        else:
+            segs = [(a, b, None) for a, b in
+                    segment_by_energy(wav, sr,
+                                      max_segment_s=args.batch_seconds)]
         chunks = []
         kept = []
-        for start, end in segs:
+        texts = []
+        # filter refs together with the chunks: a dropped empty segment
+        # must also drop its reference text, or every later hypothesis is
+        # scored against the wrong line and the WER silently inflates
+        for start, end, text in segs:
             chunk = wav[int(start * sr): int(end * sr)][:bucket]
             if len(chunk) == 0:
                 continue
             chunks.append(chunk.astype(np.float32))
             kept.append((start, end))
+            texts.append(text)
         convs.append((ep.episode_id, chunks))
         spans[ep.episode_id] = kept
-        refs[ep.episode_id] = ([s.text for s in ep.segments]
-                               if ep.segments and any(s.text for s in
-                                                      ep.segments) else None)
+        refs[ep.episode_id] = (texts if ep.segments
+                               and any(t for t in texts) else None)
 
     watch = Stopwatch()
     if fusion is not None:

@@ -68,13 +68,14 @@ def main(argv=None):
     def lm_head(p, h):
         return jnp.mean(g.token_nll_from_hidden(p["wte"]["weight"], h, ids))
 
-    bias = att.causal_attention_bias(T, T)
-
+    # build the causal bias INSIDE the jit (an iota compare) rather than
+    # closing over a [T, T] constant: the relay compiler rejects >~10 MB
+    # request bodies (CLAUDE.md), and at T=2048 the baked bias is 16 MB
     def attn_chain(q):
         s = jnp.einsum("bhqd,bhkd->bhqk", q, q * 1.01,
                        preferred_element_type=jnp.float32) \
             / (cfg.head_dim ** 0.5)
-        s = s + bias.astype(s.dtype)
+        s = s + att.causal_attention_bias(T, T).astype(s.dtype)
         pr = jax.nn.softmax(s, axis=-1)
         return jnp.mean(jnp.einsum("bhqk,bhkd->bhqd", pr, q * 0.99,
                                    preferred_element_type=jnp.float32))

@@ -188,3 +188,25 @@ def test_decode_asr_conversation_cli(tmp_path, monkeypatch):
         "rec1-A-000000-000100", "rec1-A-000100-000200",
         "rec2-A-000000-000150"]
     assert os.path.exists("exp/conv/wer.json")
+
+
+def test_zero_utterance_conversation_and_reserve_validation(setup):
+    """Regressions: a conversation with no utterances must yield an empty
+    result list (not IndexError inside slot admission), and an oversized
+    decode_reserve must error loudly instead of silently corrupting the
+    LM context (negative rolling-window limit)."""
+    cfg, params, fusion, convs = setup
+    mixed = [("empty0", [])] + convs[:1] + [("empty1", [])]
+    results = batcher.decode_conversations(
+        params, cfg, mixed, fusion=fusion, slots=2, chunk_steps=4,
+        max_len=10, audio_samples=BUCKET)
+    assert results["empty0"] == [] and results["empty1"] == []
+    assert len(results[convs[0][0]]) == len(convs[0][1])
+
+    with pytest.raises(ValueError, match="max_positions"):
+        # an utterance longer than the LM window can never be scored —
+        # its KV writes would silently fall past the cache
+        batcher.decode_conversations(
+            params, cfg, convs, fusion=fusion, slots=2, chunk_steps=4,
+            max_len=fusion.cfg.n_positions, audio_samples=BUCKET,
+            decode_reserve=fusion.cfg.n_positions + 1)

@@ -47,6 +47,20 @@ def test_flash_attention_noncausal_matches_dense():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_flash_attention_noncausal_default_blocks_tk_384():
+    """Regression: with the plain-kernel default block_k at 256, a
+    non-causal Tk=384 call (a multiple of 128, not of 256) must auto-halve
+    block_k rather than raise the Tk %% block_k ValueError."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((1, 2, 64, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 384, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 384, 32)).astype(np.float32))
+    want = _dense_attention(q, k, v, causal=False)
+    got = flash_attention(q, k, v, causal=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_flash_attention_padded_tail_is_exact_for_valid_rows():
     """T not a multiple of the block: padded key rows must not leak into
     valid queries (causal guarantees it)."""

@@ -92,6 +92,35 @@ def test_train_lm_nan_recovery(tmp_path, monkeypatch):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_train_lm_nan_before_first_checkpoint(tmp_path, monkeypatch):
+    """NaN injected BEFORE any checkpoint exists: rollback must fall back
+    to the initial state (regression: restore returned None, params stayed
+    poisoned, and the loop never advanced — infinite loop)."""
+    import jax
+
+    from loco_asr_tpu.pipelines import train_lm
+    from loco_asr_tpu.utils.checkpoint import Checkpointer
+
+    monkeypatch.chdir(tmp_path)
+    text = tmp_path / "train.txt"
+    text.write_text(
+        "rec1-A-000000-000100 hello there friend\n"
+        "rec1-A-000100-000200 how are you today\n")
+    rc = train_lm.main([
+        "--train_file", str(text), "--out_dir", "exp/early",
+        "--model", "tiny", "--seq_len", "16", "--batch_size", "2",
+        "--steps", "3", "--save_every", "3", "--eval_every", "100",
+        "--log_every", "1", "--warmup_steps", "1", "--mesh", "1,1,1",
+        "--nan_recovery", "--nan_inject_step", "1"])
+    assert rc == 0
+    events = _events("exp/early/metrics.jsonl")
+    assert any(e.get("event") == "nan_rollback" for e in events)
+    state = Checkpointer("exp/early/ckpt").restore()
+    assert int(state["step"]) == 3
+    for leaf in jax.tree_util.tree_leaves(state["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_train_lm_nan_without_recovery_poisons(tmp_path, monkeypatch):
     """Control: without --nan_recovery the poisoned step corrupts the
     parameters (this is the failure mode the recovery path exists for)."""
