@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .beam import NEG_INF, beam_init_scores
 from ..models.speecht5 import decoder as dec
 from ..models.speecht5 import model as st5
 from ..models.speecht5.config import SpeechT5Config
@@ -72,7 +73,8 @@ def _insert_many(cfg: SpeechT5Config, state: SlotState, sel: jnp.ndarray,
     its accumulated history; decode/context.py semantics).  Decoder caches
     always reset (each utterance decodes from scratch)."""
     s1 = sel[:, None]
-    zero = lambda c: jnp.where(sel[:, None, None, None], 0.0, c)
+    # rank-generic: cache leaves are [S, ...] of any rank
+    zero = lambda c: jnp.where(sel.reshape((-1,) + (1,) * (c.ndim - 1)), 0.0, c)
     new = SlotState(
         enc=jnp.where(sel[:, None, None], enc_new, state.enc),
         enc_mask=jnp.where(s1, mask_new, state.enc_mask),
@@ -85,7 +87,8 @@ def _insert_many(cfg: SpeechT5Config, state: SlotState, sel: jnp.ndarray,
     if lm_cache is None:
         return new
     lm_sel = sel if keep_lm is None else (sel & ~keep_lm)
-    zero_lm = lambda c: jnp.where(lm_sel[:, None, None, None], 0.0, c)
+    zero_lm = lambda c: jnp.where(
+        lm_sel.reshape((-1,) + (1,) * (c.ndim - 1)), 0.0, c)
     return new, jax.tree_util.tree_map(zero_lm, lm_cache)
 
 
@@ -154,9 +157,6 @@ class BeamSlotState(NamedTuple):
     last: jnp.ndarray       # [S, K] last emitted token
 
 
-NEG_INF = -1.0e9
-
-
 def _beam_init_slots(cfg: SpeechT5Config, slots: int, k: int, enc_frames: int,
                      max_len: int, dtype=jnp.float32) -> BeamSlotState:
     return BeamSlotState(
@@ -165,8 +165,7 @@ def _beam_init_slots(cfg: SpeechT5Config, slots: int, k: int, enc_frames: int,
         caches=dec.init_decode_cache(cfg, slots * k, max_len + 1, dtype),
         step=jnp.zeros((slots,), jnp.int32),
         tokens=jnp.full((slots, k, max_len), cfg.pad_token_id, jnp.int32),
-        scores=jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1),
-                                    jnp.float32)[None], (slots, 1)),
+        scores=beam_init_scores(slots, k),
         lengths=jnp.zeros((slots, k), jnp.int32),
         done=jnp.ones((slots, k), bool),
         last=jnp.full((slots, k), cfg.decoder_start_token_id, jnp.int32),
@@ -182,9 +181,10 @@ def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
     sel_flat = jnp.repeat(sel, k)                    # [S*K]
     enc_t = jnp.repeat(enc_new, k, axis=0)
     mask_t = jnp.repeat(mask_new, k, axis=0)
-    zero = lambda c: jnp.where(sel_flat[:, None, None, None], 0.0, c)
-    init_scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1),
-                                       jnp.float32)[None], (s, 1))
+    # rank-generic: cache leaves are [S*K, ...] of any rank
+    zero = lambda c: jnp.where(
+        sel_flat.reshape((-1,) + (1,) * (c.ndim - 1)), 0.0, c)
+    init_scores = beam_init_scores(s, k)
     s1, s2 = sel[:, None], sel[:, None, None]
     if lm_cache is not None:
         lm_cache = jax.tree_util.tree_map(zero, lm_cache)
@@ -367,8 +367,6 @@ def decode_continuous_beam(
     Returns {utt_id: (tokens, length)} of the length-penalty-best
     hypothesis — same tokens as per-utterance ``beam_search``.
     """
-    from .beam import _length_penalty
-
     utts: List[Tuple[str, np.ndarray]] = list(utterances)
     if not utts:
         return {}
@@ -432,8 +430,11 @@ def decode_continuous_beam(
             for i in range(slots):
                 if slot_owner[i] is None or not slot_done[i]:
                     continue
-                norm = scores[i] / np.asarray(_length_penalty(
-                    jnp.maximum(jnp.asarray(lengths[i]), 1), length_penalty))
+                # host numpy: the GNMT penalty on device would add eager
+                # dispatches (~30 ms relay RTT each) per finished slot to
+                # a loop built around one sync per chunk
+                lens = np.maximum(lengths[i].astype(np.float32), 1.0)
+                norm = scores[i] / ((5.0 + lens) / 6.0) ** length_penalty
                 best = int(np.argmax(norm))
                 toks = tokens[i, best]
                 results[slot_owner[i]] = (toks, int(lengths[i, best]))
@@ -562,8 +563,8 @@ def decode_continuous(
         else:
             state, lm_cache = chunk_fn(params, fusion.params, state, lm_cache)
         done = np.asarray(state.done)                 # ONE host sync per chunk
-        if done.all() or any(done[i] for i in range(slots)
-                             if slot_owner[i] is not None):
+        if any(done[i] for i in range(slots)
+               if slot_owner[i] is not None):
             out = np.asarray(state.out)
             for i in range(slots):
                 if slot_owner[i] is not None and done[i]:

@@ -23,6 +23,14 @@ from .fusion import FusionLM
 NEG_INF = -1.0e9
 
 
+def beam_init_scores(rows: int, k: int) -> jnp.ndarray:
+    """[rows, K] beam scores at step 0: only beam 0 live (shared by the
+    static path below and the continuous batcher — the equality contract
+    between them depends on an identical init)."""
+    return jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1),
+                                jnp.float32)[None, :], (rows, 1))
+
+
 class BeamHypotheses(NamedTuple):
     tokens: jnp.ndarray    # [B, K, L] int32 (bos excluded)
     scores: jnp.ndarray    # [B, K] raw log-prob sums
@@ -169,8 +177,7 @@ def beam_search(
             new_lm_cache = jax.tree_util.tree_map(gather_flat, new_lm_cache)
         return (tokens, top_scores, lengths, done, tok, new_caches, new_lm_cache)
 
-    init_scores = jnp.tile(
-        jnp.asarray([0.0] + [NEG_INF] * (k - 1))[None, :], (b, 1))
+    init_scores = beam_init_scores(b, k)
     state = (
         jnp.full((b, k, max_len), cfg.pad_token_id, jnp.int32),
         init_scores,

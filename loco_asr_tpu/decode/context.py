@@ -37,11 +37,13 @@ from .fusion import FusionLM
 class ConversationContext:
     """Per-conversation LM state for fused decoding (batch of streams).
 
-    Usage per utterance:
+    Usage per utterance (the decode loop's UPDATED cache must come back —
+    its KV writes live in that functional copy, see :meth:`append`):
         cache, start = ctx.state()      # start: [B] per-stream offsets
-        toks, lens = greedy_decode(..., fusion=lm, lm_cache=cache,
-                                   lm_start=start)
-        ctx.append(toks, lens)
+        toks, lens, cache = greedy_decode(..., fusion=lm, lm_cache=cache,
+                                          lm_start=start,
+                                          return_lm_cache=True)
+        ctx.append(toks, lens, cache)
     """
 
     lm: FusionLM

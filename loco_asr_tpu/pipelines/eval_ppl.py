@@ -173,6 +173,13 @@ def main(argv=None) -> int:
         raise SystemExit("--attn_impl applies to single-chip scoring; "
                          "--sequence_parallel already picks its own "
                          "kernel via --sp_impl")
+    if args.attn_impl != "dense" and args.data_parallel > 1:
+        # a pallas_call carries no GSPMD partitioning rule: under a
+        # batch-sharded jit the kernel would be replicated (all-gathering
+        # the batch onto every device), silently defeating DP
+        raise SystemExit("--attn_impl flash with --data_parallel is not "
+                         "supported (the Pallas kernel has no GSPMD "
+                         "partition rule); use dense for DP scoring")
     if args.sequence_parallel > 1 and args.data_parallel > 1:
         raise SystemExit("--sequence_parallel and --data_parallel are "
                          "mutually exclusive (use a 2-D mesh via train_lm "
@@ -237,6 +244,24 @@ def main(argv=None) -> int:
     if args.context_type == "indep":
         dataset = lm_datasets.IndepTextDataset(args.in_file, tokenizer,
                                                batch_size=args.bsize)
+        if args.limit_recordings:
+            # keep utterances of the first N distinct recordings in FILE
+            # order (recid = uttid.split('-')[0], the reference
+            # aggregation key) — dataset.utt_ids is length-sorted, so the
+            # file is the order oracle, same as the other context types
+            seen: List[str] = []
+            for u in lm_datasets.load_key_text(args.in_file):
+                r = u.split("-")[0]
+                if r not in seen:
+                    seen.append(r)
+            allow = set(seen[: args.limit_recordings])
+            keep = [i for i, u in enumerate(dataset.utt_ids)
+                    if u.split("-")[0] in allow]
+            dataset.text_ids = [dataset.text_ids[i] for i in keep]
+            dataset.utt_ids = [dataset.utt_ids[i] for i in keep]
+            dataset.lengths = dataset.lengths[keep]
+            dataset.bins, dataset.counts = np.unique(dataset.lengths,
+                                                     return_counts=True)
         ids_order = dataset.utt_ids
         for ids, lens, _ in dataset.padded_batches(args.bsize):
             batch_nll = np.asarray(score(params, jnp.asarray(ids)))
@@ -301,19 +326,26 @@ def main(argv=None) -> int:
                                                 max_len=max_len,
                                                 batch_size=args.bsize)
         ids_order = []
+        if max_len < 2:
+            raise ValueError("--context_type streaming needs --max_len >= 2 "
+                             "(stride = max_len // 2 would be zero)")
         stride = max_len // 2
         recs = list(dataset.rec_id2tokens.items())
         if args.limit_recordings:
             recs = recs[: args.limit_recordings]
+        # short recordings (T <= max_len) are right-padded to max_len and
+        # scored in fixed-shape [bsize, max_len] batches: one compiled
+        # program for the whole pass instead of one remote compile per
+        # distinct recording length (pads sit right of every kept token,
+        # inert under the causal mask — same argument as max_len mode)
+        shorts: List[tuple] = []
         for r, (rec_id, tokens) in enumerate(recs):
             print(f"\r recording {r+1}/{len(recs)} ({len(tokens)} tokens)",
                   end=" ", file=sys.stderr)
             T = len(tokens)
             arr = np.asarray(tokens, np.int32)
             if T <= max_len:
-                row = np.asarray(score(params, jnp.asarray(arr[None])))
-                nlls.append(row[0][: T - 1].tolist())
-                ids_order.append(rec_id)
+                shorts.append((rec_id, arr))
                 continue
             # half-overlap windows at offsets 0, stride, 2*stride, ...
             offsets = list(range(0, T - max_len, stride)) + [T - max_len]
@@ -335,6 +367,15 @@ def main(argv=None) -> int:
                     prev_end = o + max_len
             nlls.append(rec_nlls)
             ids_order.append(rec_id)
+        for i in range(0, len(shorts), args.bsize):
+            group = shorts[i:i + args.bsize]
+            batch = np.zeros((args.bsize, max_len), np.int32)
+            for j, (_, arr) in enumerate(group):
+                batch[j, : len(arr)] = arr
+            out = np.asarray(score(params, jnp.asarray(batch)))
+            for (rec_id, arr), row in zip(group, out):
+                nlls.append(row[: len(arr) - 1].tolist())
+                ids_order.append(rec_id)
         print(file=sys.stderr)
     else:
         raise ValueError(args.context_type)
