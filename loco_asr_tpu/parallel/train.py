@@ -94,6 +94,30 @@ def _jit_step_pinned(step: Callable, mesh: Mesh, donate: bool) -> Callable:
     return call
 
 
+def _with_frozen_feature_encoder(params: Dict) -> Dict:
+    """stop_gradient on the conv feature-extractor params.  Nothing
+    upstream of the conv stack carries trainable parameters, so zero
+    cotangents make the entire conv backward dead code — XLA drops it."""
+    enc = params["encoder"]
+    pre = enc["prenet"]
+    frozen = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                    pre["feature_encoder"])
+    return {**params,
+            "encoder": {**enc, "prenet": {**pre, "feature_encoder": frozen}}}
+
+
+def _zero_feature_encoder_updates(updates: Dict) -> Dict:
+    """Zero the frozen subtree's optimizer updates.  stop_gradient already
+    zeroes its grads, but AdamW's decoupled weight decay is applied to the
+    *parameters* regardless of gradient — without this the frozen conv
+    weights would still shrink every step."""
+    enc = updates["encoder"]
+    pre = enc["prenet"]
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, pre["feature_encoder"])
+    return {**updates,
+            "encoder": {**enc, "prenet": {**pre, "feature_encoder": zeroed}}}
+
+
 def make_asr_train_step(
     cfg: SpeechT5Config,
     mesh: Mesh,
@@ -103,6 +127,7 @@ def make_asr_train_step(
     remat: bool = False,
     attn_impl: str = "dense",
     ring: Optional[tuple] = None,
+    freeze_feature_encoder: bool = False,
 ) -> Callable:
     """Returns jit'd step(params, opt_state, batch, rng) -> (params,
     opt_state, metrics); fully sharded (params: FSDP/TP, batch: DP).
@@ -115,6 +140,12 @@ def make_asr_train_step(
     keep their configured rates); without this the encoder path would
     silently fall back to dense under training dropout
     (ops/attention.py use_flash gate) and re-OOM.
+
+    ``freeze_feature_encoder``: the HF fine-tuning convention
+    (``model.freeze_feature_encoder()``, standard for wav2vec2-family
+    models incl. SpeechT5) — conv feature-extractor params get zero grads
+    and zero updates (incl. weight decay), and XLA drops the conv-stack
+    backward entirely.
     """
     import dataclasses
 
@@ -122,6 +153,8 @@ def make_asr_train_step(
         cfg = dataclasses.replace(cfg, attention_dropout=0.0)
 
     def loss_fn(params, batch, rng):
+        if freeze_feature_encoder:
+            params = _with_frozen_feature_encoder(params)
         loss, aux = st5.asr_loss(
             params, cfg, batch["input_values"], batch["attention_mask"],
             batch["labels"], deterministic=False, rng=rng, remat=remat,
@@ -132,6 +165,8 @@ def make_asr_train_step(
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
+        if freeze_feature_encoder:
+            updates = _zero_feature_encoder_updates(updates)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
         return params, opt_state, {"loss": loss, "grad_norm": gnorm, **aux}

@@ -58,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--sp_devices", type=int, default=0,
                    help="devices for the sequence axis when --attn_impl "
                         "is ring/ulysses (a separate ('sequence',) mesh)")
+    p.add_argument("--freeze_feature_encoder", action="store_true",
+                   help="freeze the conv feature extractor (the HF "
+                        "fine-tuning convention for wav2vec2-family "
+                        "models; also skips its backward pass entirely)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
     p.add_argument("--decode_max_len", type=int, default=100)
@@ -116,9 +120,10 @@ def main(argv=None) -> int:
         n_sp = args.sp_devices or len(jax.devices())
         sp_mesh = JMesh(np.asarray(jax.devices()[:n_sp]), ("sequence",))
         ring = (sp_mesh, "sequence")
-    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
-                                        remat=args.remat,
-                                        attn_impl=args.attn_impl, ring=ring)
+    step_fn = train.make_asr_train_step(
+        cfg, mesh, tx, donate=False, remat=args.remat,
+        attn_impl=args.attn_impl, ring=ring,
+        freeze_feature_encoder=args.freeze_feature_encoder)
 
     ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))

@@ -75,7 +75,8 @@ def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
 
 
 def bench_train(batch: int, seconds: float, label_len: int,
-                remat: bool = False, bf16: bool = False):
+                remat: bool = False, bf16: bool = False,
+                freeze: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +96,8 @@ def bench_train(batch: int, seconds: float, label_len: int,
     tx = train.adamw(1e-4, 0.01, 10, 1000)
     opt_state = tx.init(params)
     step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
-                                        remat=remat)
+                                        remat=remat,
+                                        freeze_feature_encoder=freeze)
 
     rng = np.random.default_rng(0)
     t = int(seconds * 16000)
@@ -135,7 +137,9 @@ def bench_train(batch: int, seconds: float, label_len: int,
         "train_asr_audio_s_per_s": batch * seconds / per,
         "train_asr_mfu_pct": mfu,
     }
-    print(f"train_asr [B{batch}x{seconds:.0f}s, labels {label_len}]: "
+    tag = "".join([" remat" if remat else "", " bf16" if bf16 else "",
+                   " freeze" if freeze else ""])
+    print(f"train_asr [B{batch}x{seconds:.0f}s, labels {label_len}{tag}]: "
           f"{per*1e3:.1f} ms/step ({1.0/per:.1f} steps/s, "
           f"{batch*seconds/per:,.0f} audio-s/s, ~{mfu:.0f}% MFU)")
     WWW.update(rows)
@@ -416,6 +420,9 @@ def main(argv=None):
     p.add_argument("--train_label_len", type=int, default=128)
     p.add_argument("--train_remat", action="store_true")
     p.add_argument("--train_bf16", action="store_true")
+    p.add_argument("--train_freeze", action="store_true",
+                   help="freeze the conv feature extractor (HF "
+                        "fine-tuning convention; skips its backward)")
     p.add_argument("--decode_seconds", type=float, default=60.0)
     p.add_argument("--decode_len", type=int, default=200)
     args = p.parse_args(argv)
@@ -428,7 +435,8 @@ def main(argv=None):
                   args.ppl_attn_impl)
     if args.only in (None, "train"):
         bench_train(args.train_batch, args.train_seconds, args.train_label_len,
-                    remat=args.train_remat, bf16=args.train_bf16)
+                    remat=args.train_remat, bf16=args.train_bf16,
+                    freeze=args.train_freeze)
     if args.only in (None, "decode"):
         bench_decode(args.decode_seconds, args.decode_len)
     if args.only == "cont":

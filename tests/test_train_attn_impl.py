@@ -218,3 +218,43 @@ def test_lm_train_step_flash_matches_dense():
                     jax.tree_util.tree_leaves(outs["flash"][0])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_asr_train_step_freeze_feature_encoder(asr_setup):
+    """freeze_feature_encoder: conv feature-extractor params must be
+    bit-identical after a step (incl. no weight decay), every other
+    group must move, and the loss must equal the unfrozen step's loss
+    (freezing changes gradients, not the forward)."""
+    cfg, params, batch = asr_setup
+    mesh = meshlib.make_mesh(data=1)
+    tx = optax.adamw(1e-3, weight_decay=0.01)
+
+    step_f = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                       freeze_feature_encoder=True)
+    step_u = train.make_asr_train_step(cfg, mesh, tx, donate=False)
+    p_f, _, m_f = step_f(params, tx.init(params), batch,
+                         jax.random.PRNGKey(1))
+    p_u, _, m_u = step_u(params, tx.init(params), batch,
+                         jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_u["loss"]),
+                               rtol=1e-6, atol=1e-6)
+    # grad_norm shrinks: the conv grads are exactly zero under freeze
+    assert float(m_f["grad_norm"]) < float(m_u["grad_norm"])
+
+    fe0 = params["encoder"]["prenet"]["feature_encoder"]
+    fe_f = jax.device_get(p_f)["encoder"]["prenet"]["feature_encoder"]
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(fe0)),
+                    jax.tree_util.tree_leaves(fe_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # everything OUTSIDE the frozen subtree still updates
+    enc_f = jax.device_get(p_f)["encoder"]
+    enc_0 = jax.device_get(params)["encoder"]
+    moved = [
+        not np.allclose(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(enc_0["wrapped_encoder"]),
+            jax.tree_util.tree_leaves(enc_f["wrapped_encoder"]))
+    ]
+    assert all(moved)
