@@ -406,11 +406,16 @@ def _flash_rel_forward(q, k, v, pe, valid_len, *, causal, scale, block_q,
     return out, lse
 
 
-def _flash_rel_backward(q, k, v, pe, valid_len, out, lse, g, *,
-                        causal, scale, block_k):
-    """Blockwise backward with the rel-pos band.  The band scatter
-    (ds -> dqpe) dualizes into a Toeplitz GATHER from ds, so the whole
-    backward is gathers + matmuls (XLA-friendly, no scatter ops)."""
+def _flash_rel_backward_xla(q, k, v, pe, valid_len, out, lse, g, *,
+                            causal, scale, block_k):
+    """Blockwise backward with the rel-pos band, in plain XLA.  KEPT ONLY
+    AS THE TEST ORACLE for the Pallas backward below: its
+    ``take_along_axis`` band gathers do not vectorize on TPU — measured
+    28 s (!) for ONE [1,12,8199,64] layer backward vs 13.4 ms forward
+    (docs/BENCH.md round-3) — long enough that multi-iteration programs
+    tripped the TPU worker watchdog ("worker crashed" on the longctx
+    train bench).  Production gradients go through
+    :func:`_flash_rel_backward_pallas`."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     rel_max = pe.shape[0] // 2
@@ -493,6 +498,345 @@ def _flash_rel_backward(q, k, v, pe, valid_len, out, lse, g, *,
             dpe.astype(pe.dtype), dvl)
 
 
+# ---------------------------------------------------------------------------
+# Pallas backward for the rel-pos kernel.
+#
+# Standard flash-attention-2 two-kernel split (dq+dqpe over k-blocks;
+# dk+dv over q-blocks), with the rel-pos band handled WITHOUT gathers:
+#
+# * The score recompute rebuilds the sheared qpe exactly like the forward
+#   (matmul against the reversed PE table + log-step per-row roll).
+# * The band's own gradient dqpe[i, m] = sum_{j: clip(i-j)+L == m} ds[i, j]
+#   is the transpose of the forward's Toeplitz band-select.  Key trick:
+#   with block_k == Wp the true pe index m == (r - c + q_start + L) mod Wp
+#   is the SAME for slot (r, c) of every k-block (d_off shifts by exactly
+#   Wp per block), and interior masking keeps at most one k-block's
+#   contribution per slot — so ds accumulates RAW across k-blocks in VMEM
+#   and ONE per-row roll at the last block shears the accumulator into
+#   (negated) pe coordinates.  The clip columns (m = 0, m = 2L-1)
+#   accumulate as masked row-sums in two scratch lanes, like the forward.
+#
+# Everything is matmuls + rolls + iota masks: Mosaic-lowerable, no
+# scatter/gather.  See _flash_rel_backward_xla's docstring for why the
+# XLA form had to be replaced.
+# ---------------------------------------------------------------------------
+
+
+def _rel_bwd_dq_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, lse_ref,
+                       delta_ref, g_ref, dq_ref, dqpe_ref,
+                       y_scr, dq_scr, ds_scr, clip_scr, *,
+                       scale: float, causal: bool, block_q: int,
+                       block_k: int, num_k_blocks: int, rel_max: int,
+                       wp: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+        ds_scr[:] = jnp.zeros_like(ds_scr)
+        clip_scr[:] = jnp.zeros_like(clip_scr)
+        qf = q_ref[0].astype(jnp.float32) * scale
+        prv = prev_ref[...].astype(jnp.float32)
+        y = jax.lax.dot_general(qf, prv, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 0)
+        bit = 1
+        while bit < block_q:
+            rolled = pltpu.roll(y, bit, axis=1)
+            y = jnp.where((rows & bit) != 0, rolled, y)
+            bit *= 2
+        y_scr[:] = y
+
+    run = (not causal) or (k_start <= q_start + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        qf = q_ref[0].astype(jnp.float32)
+        kf = k_ref[0].astype(jnp.float32)
+        vf = v_ref[0].astype(jnp.float32)
+        gf = g_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(qf, kf, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        y = y_scr[...]
+        d_off = q_start - k_start
+        t = jax.lax.rem(d_off + rel_max, wp)
+        t = jnp.where(t < 0, t + wp, t)
+        z = pltpu.roll(y, t, axis=1)[:, :block_k]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        idx_true = rows - cols + d_off + rel_max
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 0)
+        j2 = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 1)
+        m_of = jax.lax.rem(r2 - j2 + wp * 2, wp)
+        col0 = jnp.sum(jnp.where(m_of == 0, y, 0.0), axis=1, keepdims=True)
+        colL = jnp.sum(jnp.where(m_of == 2 * rel_max - 1, y, 0.0),
+                       axis=1, keepdims=True)
+        rel = jnp.where(idx_true <= 0, col0,
+                        jnp.where(idx_true >= 2 * rel_max - 1, colL, z))
+        s = s + rel
+
+        if causal:
+            s = jnp.where((k_start + cols) <= (q_start + rows), s, NEG_INF)
+        vl = vl_ref[0, 0, 0]
+        s = jnp.where((k_start + cols) < vl, s, NEG_INF)
+
+        p = jnp.exp(s - lse_ref[0][:, 0:1])
+        dp = jax.lax.dot_general(gf, vf, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, 0:1])
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds, kf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        # dqpe: raw accumulation — valid because block_k == wp (see header)
+        interior = (idx_true > 0) & (idx_true < 2 * rel_max - 1)
+        ds_scr[:] = ds_scr[:] + jnp.where(interior, ds, 0.0)
+        low = jnp.sum(jnp.where(idx_true <= 0, ds, 0.0), axis=1,
+                      keepdims=True)
+        high = jnp.sum(jnp.where(idx_true >= 2 * rel_max - 1, ds, 0.0),
+                       axis=1, keepdims=True)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, clip_scr.shape, 1)
+        clip_scr[:] = clip_scr[:] + jnp.where(
+            lanes == 0, low, jnp.where(lanes == 1, high, 0.0))
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+        # shear the raw ds accumulator into m' = (-m) mod wp coordinates:
+        # out[r, jj] = a[r, (jj + r + t0) mod wp], t0 = (q_start + L) mod wp
+        a = ds_scr[...]
+        t0 = jax.lax.rem(jnp.int32(q_start + rel_max), wp)
+        a = pltpu.roll(a, wp - t0, axis=1)          # constant: right by -t0
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 0)
+        bit = 1
+        while bit < block_q:
+            rolled = pltpu.roll(a, wp - bit, axis=1)   # right by -bit
+            a = jnp.where((rows & bit) != 0, rolled, a)
+            bit *= 2
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 1)
+        a = a + jnp.where(lanes == 0, clip_scr[:, 0:1], 0.0)
+        a = a + jnp.where(lanes == wp - (2 * rel_max - 1),
+                          clip_scr[:, 1:2], 0.0)
+        dqpe_ref[0] = a
+
+
+def _rel_bwd_dkv_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, lse_ref,
+                        delta_ref, g_ref, dk_ref, dv_ref,
+                        dk_scr, dv_scr, *,
+                        scale: float, causal: bool, block_q: int,
+                        block_k: int, num_q_blocks: int, rel_max: int,
+                        wp: int):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    run = (not causal) or (k_start <= q_start + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        qf = q_ref[0].astype(jnp.float32)
+        kf = k_ref[0].astype(jnp.float32)
+        vf = v_ref[0].astype(jnp.float32)
+        gf = g_ref[0].astype(jnp.float32)
+        # sheared qpe for THIS q block (rebuilt per grid step — qi is the
+        # innermost axis here, so there is no q-block to amortize over)
+        yq = jax.lax.dot_general(qf * scale,
+                                 prev_ref[...].astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 0)
+        bit = 1
+        while bit < block_q:
+            rolled = pltpu.roll(yq, bit, axis=1)
+            yq = jnp.where((rows_w & bit) != 0, rolled, yq)
+            bit *= 2
+
+        s = jax.lax.dot_general(qf, kf, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        d_off = q_start - k_start
+        t = jax.lax.rem(d_off + rel_max, wp)
+        t = jnp.where(t < 0, t + wp, t)
+        z = pltpu.roll(yq, t, axis=1)[:, :block_k]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        idx_true = rows - cols + d_off + rel_max
+        j2 = jax.lax.broadcasted_iota(jnp.int32, (block_q, wp), 1)
+        m_of = jax.lax.rem(rows_w - j2 + wp * 2, wp)
+        col0 = jnp.sum(jnp.where(m_of == 0, yq, 0.0), axis=1, keepdims=True)
+        colL = jnp.sum(jnp.where(m_of == 2 * rel_max - 1, yq, 0.0),
+                       axis=1, keepdims=True)
+        rel = jnp.where(idx_true <= 0, col0,
+                        jnp.where(idx_true >= 2 * rel_max - 1, colL, z))
+        s = s + rel
+        if causal:
+            s = jnp.where((k_start + cols) <= (q_start + rows), s, NEG_INF)
+        vl = vl_ref[0, 0, 0]
+        s = jnp.where((k_start + cols) < vl, s, NEG_INF)
+
+        p = jnp.exp(s - lse_ref[0][:, 0:1])
+        dp = jax.lax.dot_general(gf, vf, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, 0:1])
+        # contract over the q rows (dim 0 of both operands)
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p, gf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds, qf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_rel_backward_pallas(q, k, v, pe, valid_len, out, lse, g, *,
+                               causal, scale, block_q, interpret):
+    """Pallas backward for the rel-pos flash kernel: (dq, dk, dv, dpe).
+
+    block_k is FORCED to Wp (the padded band width) — the dqpe
+    accumulation trick requires it (see the header comment above)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    rel_max = pe.shape[0] // 2
+    two_l = 2 * rel_max
+    wp = _round_up(max(two_l, _LANES), _LANES)
+    block_k = wp
+    block_q = min(block_q, _round_up(max(8, tq), 8))
+
+    pq = -tq % block_q
+    pk = -tk % block_k
+    qf32 = q.astype(jnp.float32)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                                   # [B,H,Tq]
+    qp, gp = q, g
+    lse_p, delta_p = lse, delta
+    if pq:
+        qp = jnp.pad(qp, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        gp = jnp.pad(gp, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        lse_p = jnp.pad(lse_p, ((0, 0), (0, 0), (0, pq)))
+        delta_p = jnp.pad(delta_p, ((0, 0), (0, 0), (0, pq)))
+    kp, vp = k, v
+    if pk:
+        kp = jnp.pad(kp, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    tq_p, tk_p = qp.shape[2], kp.shape[2]
+    num_q = tq_p // block_q
+    num_k = tk_p // block_k
+
+    pe_pad = jnp.pad(pe.astype(jnp.float32), ((0, wp - two_l), (0, 0)))
+    pe_rev = _rel_rev_table(pe_pad, wp)                        # [Wp, D]
+    vl = jnp.broadcast_to(
+        jnp.minimum(valid_len, tk).astype(jnp.int32)[:, None, None, None],
+        (b, h, 8, _LANES)).reshape(b * h, 8, _LANES)
+
+    qr = qp.reshape(b * h, tq_p, d)
+    kr = kp.reshape(b * h, tk_p, d)
+    vr = vp.reshape(b * h, tk_p, d)
+    gr = gp.reshape(b * h, tq_p, d)
+    lse_l = jnp.broadcast_to(
+        lse_p.reshape(b * h, tq_p)[..., None], (b * h, tq_p, 8)
+    ).astype(jnp.float32)
+    delta_l = jnp.broadcast_to(
+        delta_p.reshape(b * h, tq_p)[..., None], (b * h, tq_p, 8)
+    ).astype(jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((wp, d), lambda bh, qi, ki: (0, 0)),
+        pl.BlockSpec((1, 8, _LANES), lambda bh, qi, ki: (bh, 0, 0)),
+        pl.BlockSpec((1, block_q, 8), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec((1, block_q, 8), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+    ]
+    dq_kernel = functools.partial(
+        _rel_bwd_dq_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_k_blocks=num_k, rel_max=rel_max, wp=wp)
+    dq_r, dqpe_rev = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, num_q, num_k),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, wp), lambda bh, qi, ki: (bh, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, tq_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, tq_p, wp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, wp), jnp.float32),     # y (sheared qpe)
+            pltpu.VMEM((block_q, d), jnp.float32),      # dq accumulator
+            pltpu.VMEM((block_q, wp), jnp.float32),     # raw ds accumulator
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # clip-column sums
+        ],
+        interpret=interpret,
+    )(qr, kr, vr, pe_rev, vl, lse_l, delta_l, gr)
+
+    dkv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, ki, qi: (bh, qi, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, ki, qi: (bh, ki, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, ki, qi: (bh, ki, 0)),
+        pl.BlockSpec((wp, d), lambda bh, ki, qi: (0, 0)),
+        pl.BlockSpec((1, 8, _LANES), lambda bh, ki, qi: (bh, 0, 0)),
+        pl.BlockSpec((1, block_q, 8), lambda bh, ki, qi: (bh, qi, 0)),
+        pl.BlockSpec((1, block_q, 8), lambda bh, ki, qi: (bh, qi, 0)),
+        pl.BlockSpec((1, block_q, d), lambda bh, ki, qi: (bh, qi, 0)),
+    ]
+    dkv_kernel = functools.partial(
+        _rel_bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_q_blocks=num_q, rel_max=rel_max, wp=wp)
+    dk_r, dv_r = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, num_k, num_q),
+        in_specs=dkv_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki, qi: (bh, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, tk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, tk_p, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qr, kr, vr, pe_rev, vl, lse_l, delta_l, gr)
+
+    dq = dq_r.reshape(b, h, tq_p, d)[:, :, :tq]
+    dk = dk_r.reshape(b, h, tk_p, d)[:, :, :tk]
+    dv = dv_r.reshape(b, h, tk_p, d)[:, :, :tk]
+    # un-negate the pe coordinate: dqpe[m] = rev[(-m) mod wp]
+    rev = dqpe_rev.reshape(b, h, tq_p, wp)[:, :, :tq]
+    dqpe = jnp.concatenate(
+        [rev[..., :1], jnp.flip(rev[..., wp - two_l + 1:], axis=-1)],
+        axis=-1)                                              # [B,H,Tq,2L]
+    pef = pe.astype(jnp.float32)
+    dq = dq + jnp.einsum("bhim,md->bhid", dqpe, pef,
+                         preferred_element_type=jnp.float32) * scale
+    dpe = jnp.einsum("bhim,bhid->md", dqpe, qf32,
+                     preferred_element_type=jnp.float32) * scale
+    import numpy as _np
+    dvl = _np.zeros(valid_len.shape, jax.dtypes.float0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dpe.astype(pe.dtype), dvl)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _flash_attention_rel(q, k, v, pe, valid_len, causal, scale, block_q,
                          block_k, interpret):
@@ -512,8 +856,11 @@ def _rel_fwd(q, k, v, pe, valid_len, causal, scale, block_q, block_k,
 
 def _rel_bwd(causal, scale, block_q, block_k, interpret, residuals, g):
     q, k, v, pe, valid_len, out, lse = residuals
-    return _flash_rel_backward(q, k, v, pe, valid_len, out, lse, g,
-                               causal=causal, scale=scale, block_k=block_k)
+    # bwd q-block: 256 amortizes the per-step qpe shear in the dkv kernel;
+    # block_k is chosen inside (forced to Wp for the dqpe trick)
+    return _flash_rel_backward_pallas(
+        q, k, v, pe, valid_len, out, lse, g, causal=causal, scale=scale,
+        block_q=max(block_q, 256), interpret=interpret)
 
 
 _flash_attention_rel.defvjp(_rel_fwd, _rel_bwd)

@@ -196,3 +196,43 @@ def test_flash_rel_gradients_match_dense(causal):
     for name, a, b_ in zip("q k v pe".split(), g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-5, rtol=1e-4, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("tq,tk,L,causal,bq", [
+    (700, 700, 192, False, 256),   # real encoder band (2L=384 -> Wp=512), 2 k-blocks
+    (300, 520, 64, False, 128),    # tq != tk, ragged tails on both sides
+    (260, 260, 40, True, 128),     # causal with block skipping
+    (90, 90, 8, False, 256),       # single partial block (block_q clamps)
+])
+def test_flash_rel_pallas_backward_matches_xla_oracle(tq, tk, L, causal, bq):
+    """The Pallas backward (no gathers; raw-ds accumulation + final shear)
+    against the plain-XLA blockwise backward it replaced (kept as the
+    oracle).  Exercises multi-k-block accumulation — the correctness of
+    the block_k == Wp coordinate trick — plus clip columns, key-padding,
+    causal skipping, and non-divisible shapes."""
+    from loco_asr_tpu.ops.pallas.flash_attention import (
+        _flash_rel_backward_pallas, _flash_rel_backward_xla,
+        _flash_rel_forward)
+
+    rng = np.random.RandomState(7)
+    b, h, d = 2, 3, 64
+    q = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(b, h, tk, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(b, h, tk, d).astype(np.float32) * 0.3)
+    pe = jnp.asarray(rng.randn(2 * L, d).astype(np.float32) * 0.3)
+    vl = jnp.asarray(np.array([tk, max(1, tk - 37)], np.int32))
+    g = jnp.asarray(rng.randn(b, h, tq, d).astype(np.float32))
+    scale = d ** -0.5
+
+    out, lse = _flash_rel_forward(q, k, v, pe, vl, causal=causal,
+                                  scale=scale, block_q=128, block_k=1024,
+                                  interpret=True)
+    got = _flash_rel_backward_pallas(q, k, v, pe, vl, out, lse, g,
+                                     causal=causal, scale=scale,
+                                     block_q=bq, interpret=True)
+    want = _flash_rel_backward_xla(q, k, v, pe, vl, out, lse, g,
+                                   causal=causal, scale=scale, block_k=256)
+    for name, a, w in zip("q k v pe".split(), got[:4], want[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   atol=3e-5, rtol=1e-4,
+                                   err_msg=f"d{name} tq={tq} L={L}")
