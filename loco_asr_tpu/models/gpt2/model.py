@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention, layers
+from ...ops.remat import tag_big
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,10 +145,13 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
                                kv_valid_len=kv_valid_len)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
     else:
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / (cfg.head_dim ** 0.5)
-        scores = scores + bias.astype(scores.dtype)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        # [B, H, T, T] / [B, T, ffn] values are recompute-on-backward
+        # under remat="lite" (ops/remat.py)
+        scores = tag_big(jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k,
+            preferred_element_type=jnp.float32) / (cfg.head_dim ** 0.5))
+        scores = tag_big(scores + bias.astype(scores.dtype))
+        probs = tag_big(jax.nn.softmax(scores, axis=-1).astype(v.dtype))
         probs = layers.dropout(rngs[0], probs, cfg.attn_pdrop, deterministic)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
@@ -156,8 +160,8 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
     x = x + attn
 
     h = layers.layer_norm(bp["ln_2"], x, eps=cfg.layer_norm_epsilon)
-    h = layers.dense(bp["mlp"]["c_fc"], h)
-    h = act(h)
+    h = tag_big(layers.dense(bp["mlp"]["c_fc"], h))
+    h = tag_big(act(h))
     h = layers.dense(bp["mlp"]["c_proj"], h)
     h = layers.dropout(rngs[2], h, cfg.resid_pdrop, deterministic)
     return x + h, new_cache
@@ -173,8 +177,13 @@ def gpt2_forward(
     dropout_rng: Optional[jax.Array] = None,
     attn_impl: str = "dense",
     ring: Optional[tuple] = None,
+    remat=False,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Token ids [B, T] -> (hidden [B, T, D], updated kv caches).
+
+    ``remat`` ("none"/"full"/"dots"/"hybrid" or bool, ops/remat.py)
+    rematerializes block intermediates on the backward pass — training
+    only; ignored in incremental KV mode, where there is no backward.
 
     ``attn_impl='flash'`` routes full-sequence causal attention through the
     Pallas blockwise kernel (long-context scoring/training; ignored in
@@ -258,13 +267,25 @@ def gpt2_forward(
     new_caches = {} if kv_caches is not None else None
     rngs = (jax.random.split(dropout_rng, cfg.n_layer)
             if dropout_rng is not None else [None] * cfg.n_layer)
-    for i in range(cfg.n_layer):
-        cache_i = kv_caches[str(i)] if kv_caches is not None else None
-        x, upd = _block(params["h"][str(i)], cfg, x, bias, cache_i,
-                        cache_index, rngs[i], deterministic,
-                        attn_impl=attn_impl, ring=ring,
-                        kv_valid_len=kv_valid_len)
-        if new_caches is not None:
+    if kv_caches is None:
+        from ...ops import remat as remat_lib
+
+        # close over the non-pytree statics (cfg, flags); keep only array
+        # (or None) arguments so jax.checkpoint can trace the block
+        def block(bp, x, bias, rng):
+            return _block(bp, cfg, x, bias, None, None, rng, deterministic,
+                          attn_impl=attn_impl, ring=ring,
+                          kv_valid_len=kv_valid_len)[0]
+
+        block = remat_lib.apply(block, remat)
+        for i in range(cfg.n_layer):
+            x = block(params["h"][str(i)], x, bias, rngs[i])
+    else:
+        for i in range(cfg.n_layer):
+            x, upd = _block(params["h"][str(i)], cfg, x, bias,
+                            kv_caches[str(i)], cache_index, rngs[i],
+                            deterministic, attn_impl=attn_impl, ring=ring,
+                            kv_valid_len=kv_valid_len)
             new_caches[str(i)] = upd
 
     x = layers.layer_norm(params["ln_f"], x, eps=cfg.layer_norm_epsilon)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention, layers
+from ...ops import remat as remat_lib
 from .config import SpeechT5Config
 
 
@@ -69,8 +70,11 @@ def _layer_body(cfg: SpeechT5Config, hidden, layer_params, *, attention_bias,
     hidden = hidden + attn_out
     hidden = layers.layer_norm(layer_params["layer_norm"], hidden, eps=cfg.layer_norm_eps)
 
-    ff = layers.dense(layer_params["feed_forward"]["intermediate_dense"], hidden)
-    ff = act(ff)
+    # [B, T, ffn]-sized values are recompute-on-backward under remat="lite"
+    ff = remat_lib.tag_big(
+        layers.dense(layer_params["feed_forward"]["intermediate_dense"],
+                     hidden))
+    ff = remat_lib.tag_big(act(ff))
     ff = layers.dropout(rngs[2], ff, cfg.activation_dropout, deterministic)
     ff = layers.dense(layer_params["feed_forward"]["output_dense"], ff)
     ff = layers.dropout(rngs[3], ff, cfg.hidden_dropout, deterministic)
@@ -94,16 +98,18 @@ def encoder(
     *,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
-    remat: bool = False,
+    remat: remat_lib.RematSpec = False,
     attn_impl: str = "dense",
     ring: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """[B, T, H] prenet features -> [B, T, H] encodings.
 
     ``attention_mask`` is a [B, T] 1/0 validity mask at feature resolution.
-    ``remat`` rematerializes each layer on the backward pass (activation
-    memory O(sqrt-ish) instead of O(layers) — jax.checkpoint around the
-    scanned layer body, the standard TPU memory/FLOPs trade).
+    ``remat`` rematerializes layer intermediates on the backward pass:
+    True/"full" saves only layer inputs (min memory, recomputes
+    everything), "dots"/"hybrid" save MXU dot outputs (+ dropout masks)
+    and recompute the fat f32 elementwise chains — the HBM-bandwidth
+    policies (ops/remat.py; exact numerics either way).
     ``attn_impl`` "dense" materializes [T, T] scores; "flash" routes every
     layer through the banded rel-pos Pallas kernel (O(T) memory —
     conversation-length encoding); "ring" shards the sequence over
@@ -155,8 +161,7 @@ def encoder(
         lp, rng = xs if layer_rngs is not None else (xs, None)
         return body(h, lp, dropout_rng=rng), None
 
-    if remat:
-        scan_fn = jax.checkpoint(scan_fn)
+    scan_fn = remat_lib.apply(scan_fn, remat)
 
     xs = (stacked, layer_rngs) if layer_rngs is not None else stacked
     hidden, _ = jax.lax.scan(scan_fn, hidden, xs)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from . import layers
+from .remat import tag_big
 
 NEG_INF = -1e9  # large-negative additive mask (fp32/bf16 safe)
 
@@ -164,7 +165,11 @@ def multi_head_attention(
         out = layers.dense(params["out_proj"], out)
         return out, new_cache
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    # every [B, H, Tq, Tk] value below is tagged recompute-on-backward for
+    # the "lite" remat policy (ops/remat.py): their saves dominate train
+    # HBM traffic; their recompute is two einsums + VPU passes
+    scores = tag_big(jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32))
 
     if rel_pe is not None:
         # rel bias from the [2L, head_dim] table: gather the (small) table
@@ -177,24 +182,25 @@ def multi_head_attention(
         idx = jnp.clip(jnp.arange(tq)[:, None] - jnp.arange(tk)[None, :],
                        -L, L - 1) + L
         pos_keys = jnp.take(rel_pe.astype(q.dtype), idx, axis=0)  # [Tq,Tk,d]
-        rel = jnp.einsum("bhid,ijd->bhij", q, pos_keys,
-                         preferred_element_type=jnp.float32)
-        scores = scores + rel
+        rel = tag_big(jnp.einsum("bhid,ijd->bhij", q, pos_keys,
+                                 preferred_element_type=jnp.float32))
+        scores = tag_big(scores + rel)
     elif position_bias is not None:
         # rel bias: scores[b,h,i,j] += q[b,h,i,:] . pe_k[i,j,:]
-        rel = jnp.einsum("bhid,ijd->bhij", q, position_bias.astype(q.dtype),
-                         preferred_element_type=jnp.float32)
-        scores = scores + rel
+        rel = tag_big(jnp.einsum("bhid,ijd->bhij", q,
+                                 position_bias.astype(q.dtype),
+                                 preferred_element_type=jnp.float32))
+        scores = tag_big(scores + rel)
 
     if attention_bias is not None:
-        scores = scores + attention_bias.astype(scores.dtype)
+        scores = tag_big(scores + attention_bias.astype(scores.dtype))
     elif kv_valid_len is not None:
         # flash/ring callers pass lengths instead of a bias; keep padding
         # correct when this dense path is the (e.g. dropout) fallback
         pad = jnp.arange(k.shape[2])[None, :] < kv_valid_len[:, None]
-        scores = jnp.where(pad[:, None, None, :], scores, NEG_INF)
+        scores = tag_big(jnp.where(pad[:, None, None, :], scores, NEG_INF))
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = tag_big(jax.nn.softmax(scores, axis=-1).astype(v.dtype))
     probs = layers.dropout(dropout_rng, probs, dropout_rate, deterministic)
 
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=v.dtype)

@@ -18,6 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 
 # ---------------------------------------------------------------------------
@@ -25,14 +26,21 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf-based) GELU; matches torch nn.functional.gelu default."""
-    return 0.5 * x * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+    """Exact (erf-based) GELU; matches torch nn.functional.gelu default.
+
+    The erf value (which autodiff saves for the backward) is tagged
+    recompute-on-backward for the "lite" remat policy (ops/remat.py)."""
+    e = _checkpoint_name(jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)),
+                         "big")
+    return 0.5 * x * (1.0 + e)
 
 
 def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
     """Tanh-approx GELU; matches HF "gelu_new" used by GPT-2."""
     c = math.sqrt(2.0 / math.pi)
-    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * jnp.power(x, 3.0))))
+    t = _checkpoint_name(
+        jnp.tanh(c * (x + 0.044715 * jnp.power(x, 3.0))), "big")
+    return 0.5 * x * (1.0 + t)
 
 
 ACTIVATIONS = {
@@ -247,4 +255,9 @@ def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float,
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    # one-byte masks are cheap to hold but expensive to regenerate
+    # (threefry): the "hybrid"/"lite" remat policies save them, while the
+    # masked OUTPUT is recompute-on-backward under "lite" (ops/remat.py)
+    mask = _checkpoint_name(mask, "dropout_mask")
+    return _checkpoint_name(jnp.where(mask, x / keep, 0.0).astype(x.dtype),
+                            "big")

@@ -124,7 +124,7 @@ def make_asr_train_step(
     tx: optax.GradientTransformation,
     *,
     donate: bool = True,
-    remat: bool = False,
+    remat=False,
     attn_impl: str = "dense",
     ring: Optional[tuple] = None,
     freeze_feature_encoder: bool = False,
@@ -140,6 +140,12 @@ def make_asr_train_step(
     keep their configured rates); without this the encoder path would
     silently fall back to dense under training dropout
     (ops/attention.py use_flash gate) and re-OOM.
+
+    ``remat``: False/"none" | True/"full" | "dots" | "hybrid"
+    (ops/remat.py).  "full" minimizes memory (recomputes each encoder
+    layer); "dots"/"hybrid" target the HBM-bound backward — they skip
+    storing the fat f32 intermediates while saving MXU dot outputs
+    (+ dropout masks).  All exact; numerics match remat=False.
 
     ``freeze_feature_encoder``: the HF fine-tuning convention
     (``model.freeze_feature_encoder()``, standard for wav2vec2-family
@@ -179,6 +185,7 @@ def make_lm_train_step(
     donate: bool = True,
     attn_impl: str = "dense",
     ring: Optional[tuple] = None,
+    remat=False,
 ) -> Callable:
     """GPT-2 causal-LM training step: batch = {ids [B, L], lengths [B]};
     loss = mean NLL over tokens 1..len-1 (padding inert under causality).
@@ -198,7 +205,8 @@ def make_lm_train_step(
     def loss_fn(params, batch, rng):
         logits, _ = g.gpt2_logits(params, cfg, batch["ids"],
                                   deterministic=False, dropout_rng=rng,
-                                  attn_impl=attn_impl, ring=ring)
+                                  attn_impl=attn_impl, ring=ring,
+                                  remat=remat)
         nll = g.token_nll(logits, batch["ids"])          # [B, L-1]
         t = nll.shape[1]
         valid = (jnp.arange(t)[None, :] < (batch["lengths"] - 1)[:, None])

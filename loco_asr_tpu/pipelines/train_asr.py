@@ -39,8 +39,14 @@ def parse_args(argv=None):
                    help="data,fsdp,tensor mesh shape (-1 absorbs)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize encoder layers on backward (less memory)")
+    p.add_argument("--remat", nargs="?", const="full", default="none",
+                   choices=["none", "full", "dots", "hybrid", "lite"],
+                   help="rematerialize encoder intermediates on backward: "
+                        "'full' = min memory (bare --remat keeps this "
+                        "meaning); 'lite' = recompute only the fat "
+                        "[B,H,T,T]/[B,T,ffn] tensors (HBM-bandwidth "
+                        "policy); 'dots'/'hybrid' = keep dot outputs "
+                        "(+ dropout masks).  See ops/remat.py")
     p.add_argument("--nan_recovery", action="store_true",
                    help="on a non-finite loss, roll back to the last "
                         "checkpoint and skip the offending batch")

@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--mesh", default="-1,1,1")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--remat", nargs="?", const="full", default="none",
+                   choices=["none", "full", "dots", "hybrid", "lite"],
+                   help="rematerialize block intermediates on backward "
+                        "(ops/remat.py; 'dots'/'hybrid' target the "
+                        "HBM-bound backward, 'full' minimizes memory)")
     p.add_argument("--nan_recovery", action="store_true",
                    help="on a non-finite loss, roll back to the last "
                         "checkpoint and skip the offending batch "
@@ -123,7 +128,8 @@ def main(argv=None) -> int:
         sp_mesh = JMesh(np.asarray(jax.devices()[:n_sp]), ("sequence",))
         ring = (sp_mesh, "sequence")
     step_fn = train.make_lm_train_step(cfg, mesh, tx, donate=False,
-                                       attn_impl=args.attn_impl, ring=ring)
+                                       attn_impl=args.attn_impl, ring=ring,
+                                       remat=args.remat)
 
     train_ds = lm_datasets.MaxLenTextDataset(args.train_file, tokenizer,
                                              max_len=args.seq_len)

@@ -75,7 +75,7 @@ def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
 
 
 def bench_train(batch: int, seconds: float, label_len: int,
-                remat: bool = False, bf16: bool = False,
+                remat="none", bf16: bool = False,
                 freeze: bool = False):
     import jax
     import jax.numpy as jnp
@@ -137,8 +137,9 @@ def bench_train(batch: int, seconds: float, label_len: int,
         "train_asr_audio_s_per_s": batch * seconds / per,
         "train_asr_mfu_pct": mfu,
     }
-    tag = "".join([" remat" if remat else "", " bf16" if bf16 else "",
-                   " freeze" if freeze else ""])
+    tag = "".join(
+        [f" remat={remat}" if remat not in (False, None, "none") else "",
+         " bf16" if bf16 else "", " freeze" if freeze else ""])
     print(f"train_asr [B{batch}x{seconds:.0f}s, labels {label_len}{tag}]: "
           f"{per*1e3:.1f} ms/step ({1.0/per:.1f} steps/s, "
           f"{batch*seconds/per:,.0f} audio-s/s, ~{mfu:.0f}% MFU)")
@@ -146,7 +147,7 @@ def bench_train(batch: int, seconds: float, label_len: int,
 
 
 def bench_longctx_train(seconds: float, batch: int, label_len: int,
-                        attn_impl: str = "flash"):
+                        attn_impl: str = "flash", remat="full"):
     """Conversation-scale ASR fine-tuning step: flash attention + remat.
     Dense attention OOMs past ~8k encoder frames (docs/BENCH.md
     conversation-length table); this row proves the long-context TRAINING
@@ -167,7 +168,7 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
     tx = train.adamw(1e-4, 0.01, 10, 1000)
     opt_state = tx.init(params)
     step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
-                                        remat=True, attn_impl=attn_impl)
+                                        remat=remat, attn_impl=attn_impl)
 
     rng = np.random.default_rng(0)
     t = int(seconds * 16000)
@@ -194,9 +195,9 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
         f"longctx_train_step_ms": per * 1e3,
         f"longctx_train_audio_s_per_s": batch * seconds / per,
     }
-    print(f"longctx train_asr [{attn_impl}+remat, B{batch}x{seconds:.0f}s "
-          f"= {frames} frames]: {per*1e3:.1f} ms/step "
-          f"({batch*seconds/per:,.1f} audio-s/s)")
+    print(f"longctx train_asr [{attn_impl}+remat={remat}, "
+          f"B{batch}x{seconds:.0f}s = {frames} frames]: "
+          f"{per*1e3:.1f} ms/step ({batch*seconds/per:,.1f} audio-s/s)")
     WWW.update(rows)
 
 
@@ -409,6 +410,8 @@ def main(argv=None):
                         "(164 s ~= 8,198 encoder frames, past the dense "
                         "OOM knee)")
     p.add_argument("--longctx_batch", type=int, default=1)
+    p.add_argument("--longctx_remat", default="full",
+                   choices=["none", "full", "dots", "hybrid", "lite"])
     p.add_argument("--json", default=None, help="write rows to this file")
     p.add_argument("--ppl_bsize", type=int, default=8)
     p.add_argument("--ppl_max_len", type=int, default=1024)
@@ -418,7 +421,8 @@ def main(argv=None):
     p.add_argument("--train_batch", type=int, default=8)
     p.add_argument("--train_seconds", type=float, default=5.0)
     p.add_argument("--train_label_len", type=int, default=128)
-    p.add_argument("--train_remat", action="store_true")
+    p.add_argument("--train_remat", nargs="?", const="full", default="none",
+                   choices=["none", "full", "dots", "hybrid", "lite"])
     p.add_argument("--train_bf16", action="store_true")
     p.add_argument("--train_freeze", action="store_true",
                    help="freeze the conv feature extractor (HF "
@@ -443,7 +447,8 @@ def main(argv=None):
         bench_continuous(32, 8, 200)
     if args.only == "longctx":
         bench_longctx_train(args.longctx_seconds, args.longctx_batch,
-                            args.train_label_len)
+                            args.train_label_len,
+                            remat=args.longctx_remat)
     if args.only == "conv":
         bench_conversations(8, 4, 8, 200)
     if args.json:
