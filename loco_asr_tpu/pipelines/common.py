@@ -14,6 +14,35 @@ def round_up(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
 
 
+RNG_IMPLS = ("threefry", "rbg", "unsafe_rbg")
+
+
+def setup_rng_impl(impl: str) -> None:
+    """Select the PRNG implementation for this process's jax.random keys.
+
+    Threefry (the JAX default) computes random bits with a software
+    counter cipher on the VPU — measured at B=16 x 5 s it costs the ASR
+    train step ~13 ms of mask generation in the FORWARD alone and ~24 ms
+    over fwd+bwd (docs/BENCH.md round-3 RNG section).  "rbg"/"unsafe_rbg"
+    use the TPU hardware RNG instruction for bit generation (the standard
+    large-scale-training configuration on TPU): full step 90.7 -> 65.8 ms.
+
+    Dropout masks need no cross-run reproducibility guarantee — within a
+    process a given (key, shape) is still deterministic, so remat
+    exactness and nan-rollback replay are unaffected.  Keep "threefry"
+    (default off the trainers) when bitwise golden parity across
+    machines/backends matters.
+
+    Must run before the first jax.random key is created.
+    """
+    if impl not in RNG_IMPLS:
+        raise ValueError(f"rng_impl {impl!r}: expected one of {RNG_IMPLS}")
+    import jax
+
+    jax.config.update("jax_default_prng_impl",
+                      "threefry2x32" if impl == "threefry" else impl)
+
+
 def setup_compilation_cache(enabled: Optional[bool] = None,
                             cache_dir: Optional[str] = None) -> Optional[str]:
     """Enable JAX's persistent compilation cache for pipeline processes.

@@ -68,6 +68,12 @@ def parse_args(argv=None):
                    help="freeze the conv feature extractor (the HF "
                         "fine-tuning convention for wav2vec2-family "
                         "models; also skips its backward pass entirely)")
+    p.add_argument("--rng_impl", default="rbg",
+                   choices=["threefry", "rbg", "unsafe_rbg"],
+                   help="PRNG for dropout masks: 'rbg' uses the TPU "
+                        "hardware RNG (step 90.7 -> ~66 ms at B=16; the "
+                        "standard TPU training config); 'threefry' for "
+                        "bitwise cross-backend reproducibility")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
     p.add_argument("--decode_max_len", type=int, default=100)
@@ -81,7 +87,8 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from .common import setup_compilation_cache
+    from .common import setup_compilation_cache, setup_rng_impl
+    setup_rng_impl(args.rng_impl)  # before any jax.random key exists
     setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
     import optax
 

@@ -64,6 +64,11 @@ def parse_args(argv=None):
     p.add_argument("--sp_devices", type=int, default=0,
                    help="devices for the sequence axis when --attn_impl "
                         "is ring/ulysses")
+    p.add_argument("--rng_impl", default="rbg",
+                   choices=["threefry", "rbg", "unsafe_rbg"],
+                   help="PRNG for dropout masks: 'rbg' uses the TPU "
+                        "hardware RNG (docs/BENCH.md RNG section); "
+                        "'threefry' for bitwise reproducibility")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -91,7 +96,8 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from .common import setup_compilation_cache
+    from .common import setup_compilation_cache, setup_rng_impl
+    setup_rng_impl(args.rng_impl)  # before any jax.random key exists
     setup_compilation_cache()  # persistent XLA executable cache (docs/BENCH.md)
 
     from ..data import lm_datasets

@@ -76,7 +76,7 @@ def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
 
 def bench_train(batch: int, seconds: float, label_len: int,
                 remat="none", bf16: bool = False,
-                freeze: bool = False):
+                freeze: bool = False, rng_impl: str = "threefry"):
     import jax
     import jax.numpy as jnp
 
@@ -139,7 +139,8 @@ def bench_train(batch: int, seconds: float, label_len: int,
     }
     tag = "".join(
         [f" remat={remat}" if remat not in (False, None, "none") else "",
-         " bf16" if bf16 else "", " freeze" if freeze else ""])
+         " bf16" if bf16 else "", " freeze" if freeze else "",
+         f" rng={rng_impl}" if rng_impl != "threefry" else ""])
     print(f"train_asr [B{batch}x{seconds:.0f}s, labels {label_len}{tag}]: "
           f"{per*1e3:.1f} ms/step ({1.0/per:.1f} steps/s, "
           f"{batch*seconds/per:,.0f} audio-s/s, ~{mfu:.0f}% MFU)")
@@ -429,7 +430,15 @@ def main(argv=None):
                         "fine-tuning convention; skips its backward)")
     p.add_argument("--decode_seconds", type=float, default=60.0)
     p.add_argument("--decode_len", type=int, default=200)
+    p.add_argument("--rng_impl", default="threefry",
+                   choices=["threefry", "rbg", "unsafe_rbg"],
+                   help="PRNG for the train rows' dropout masks "
+                        "(trainers default to 'rbg'; threefry here keeps "
+                        "historical rows comparable)")
     args = p.parse_args(argv)
+
+    from loco_asr_tpu.pipelines.common import setup_rng_impl
+    setup_rng_impl(args.rng_impl)
 
     import jax
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
@@ -440,7 +449,7 @@ def main(argv=None):
     if args.only in (None, "train"):
         bench_train(args.train_batch, args.train_seconds, args.train_label_len,
                     remat=args.train_remat, bf16=args.train_bf16,
-                    freeze=args.train_freeze)
+                    freeze=args.train_freeze, rng_impl=args.rng_impl)
     if args.only in (None, "decode"):
         bench_decode(args.decode_seconds, args.decode_len)
     if args.only == "cont":

@@ -18,3 +18,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Parity tests compare against torch fp32; keep MXU-style bf16 out of tests.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _restore_prng_impl():
+    """Trainer mains call pipelines.common.setup_rng_impl (process-global
+    jax config); restore it so a train test can't leak 'rbg' into later
+    tests whose pinned values assume threefry init."""
+    old = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != old:
+        jax.config.update("jax_default_prng_impl", old)

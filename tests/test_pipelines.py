@@ -419,3 +419,42 @@ def test_extract_embeddings_data_parallel_matches_single(slurp_root, tmp_path,
         assert sid == did
         np.testing.assert_allclose(demb, semb, atol=1e-5, rtol=1e-5)
         np.testing.assert_array_equal(dtgt, stgt)
+
+
+def test_rng_impl_setup_and_train_step():
+    """--rng_impl: setup validates names; a train step under the hardware
+    'rbg' PRNG (the trainer default, docs/BENCH.md RNG section) runs with
+    finite loss/grads and mask determinism holds per (key, shape)."""
+    import optax
+
+    from loco_asr_tpu.models.speecht5 import model as st5
+    from loco_asr_tpu.models.speecht5.config import tiny_config
+    from loco_asr_tpu.parallel import mesh as meshlib, train
+    from loco_asr_tpu.pipelines import common
+
+    with pytest.raises(ValueError):
+        common.setup_rng_impl("mersenne")
+
+    common.setup_rng_impl("rbg")
+    try:
+        cfg = tiny_config()
+        params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "input_values": jnp.asarray(
+                rng.standard_normal((2, 1600)).astype(np.float32) * 0.1),
+            "attention_mask": jnp.ones((2, 1600), jnp.int32),
+            "labels": jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 7))),
+        }
+        mesh = meshlib.make_mesh(data=1)
+        tx = optax.adamw(1e-3)
+        step = train.make_asr_train_step(cfg, mesh, tx, donate=False)
+        key = jax.random.PRNGKey(1)
+        _, _, m1 = step(params, tx.init(params), batch, key)
+        _, _, m2 = step(params, tx.init(params), batch, key)
+        assert np.isfinite(float(m1["loss"]))
+        assert np.isfinite(float(m1["grad_norm"]))
+        # same key -> same rbg dropout masks -> identical loss
+        assert float(m1["loss"]) == float(m2["loss"])
+    finally:
+        common.setup_rng_impl("threefry")
