@@ -118,6 +118,25 @@ def _zero_feature_encoder_updates(updates: Dict) -> Dict:
             "encoder": {**enc, "prenet": {**pre, "feature_encoder": zeroed}}}
 
 
+def _cast_compute(params: Dict, batch: Dict, compute_dtype) -> tuple:
+    """Mixed precision: cast float params + float batch entries to the
+    compute dtype INSIDE the differentiated loss.  The ``astype`` VJP
+    upcasts cotangents, so gradients come back in the master dtype (f32)
+    and the optimizer state stays f32 — the standard scheme (bf16
+    compute/activations, f32 master weights + Adam).  The win is HBM
+    traffic: every residual saved for the backward is half-width, which
+    is where the train-step bytes go (docs/BENCH.md cost analysis).
+    Norm statistics, attention-kernel accumulators and the loss's
+    log_softmax already reduce in f32 regardless of compute dtype."""
+    from ..utils.pytree import cast_floating
+
+    params = cast_floating(params, compute_dtype)
+    batch = {k: (v.astype(compute_dtype)
+                 if jnp.issubdtype(v.dtype, jnp.floating) else v)
+             for k, v in batch.items()}
+    return params, batch
+
+
 def make_asr_train_step(
     cfg: SpeechT5Config,
     mesh: Mesh,
@@ -128,6 +147,7 @@ def make_asr_train_step(
     attn_impl: str = "dense",
     ring: Optional[tuple] = None,
     freeze_feature_encoder: bool = False,
+    compute_dtype=None,
 ) -> Callable:
     """Returns jit'd step(params, opt_state, batch, rng) -> (params,
     opt_state, metrics); fully sharded (params: FSDP/TP, batch: DP).
@@ -152,6 +172,9 @@ def make_asr_train_step(
     models incl. SpeechT5) — conv feature-extractor params get zero grads
     and zero updates (incl. weight decay), and XLA drops the conv-stack
     backward entirely.
+
+    ``compute_dtype``: e.g. ``jnp.bfloat16`` for mixed-precision training
+    (see _cast_compute) — master params/optimizer stay f32.
     """
     import dataclasses
 
@@ -161,6 +184,8 @@ def make_asr_train_step(
     def loss_fn(params, batch, rng):
         if freeze_feature_encoder:
             params = _with_frozen_feature_encoder(params)
+        if compute_dtype is not None:
+            params, batch = _cast_compute(params, batch, compute_dtype)
         loss, aux = st5.asr_loss(
             params, cfg, batch["input_values"], batch["attention_mask"],
             batch["labels"], deterministic=False, rng=rng, remat=remat,
@@ -186,6 +211,7 @@ def make_lm_train_step(
     attn_impl: str = "dense",
     ring: Optional[tuple] = None,
     remat=False,
+    compute_dtype=None,
 ) -> Callable:
     """GPT-2 causal-LM training step: batch = {ids [B, L], lengths [B]};
     loss = mean NLL over tokens 1..len-1 (padding inert under causality).
@@ -194,7 +220,10 @@ def make_lm_train_step(
     training (ring/ulysses need ``ring=(mesh, axis_name)`` and the batch's
     sequence axis sharded on that mesh axis).  attn_pdrop is zeroed for
     the non-dense kernels (they carry no attention-prob dropout; the
-    model would otherwise refuse, models/gpt2/model.py)."""
+    model would otherwise refuse, models/gpt2/model.py).
+
+    ``compute_dtype``: e.g. ``jnp.bfloat16`` for mixed-precision training
+    (see _cast_compute) — master params/optimizer stay f32."""
     import dataclasses
 
     from ..models.gpt2 import model as g
@@ -203,6 +232,8 @@ def make_lm_train_step(
         cfg = dataclasses.replace(cfg, attn_pdrop=0.0)
 
     def loss_fn(params, batch, rng):
+        if compute_dtype is not None:
+            params, batch = _cast_compute(params, batch, compute_dtype)
         logits, _ = g.gpt2_logits(params, cfg, batch["ids"],
                                   deterministic=False, dropout_rng=rng,
                                   attn_impl=attn_impl, ring=ring,

@@ -38,6 +38,12 @@ def parse_args(argv=None):
     p.add_argument("--mesh", default="-1,1,1",
                    help="data,fsdp,tensor mesh shape (-1 absorbs)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--compute_dtype", choices=["same", "bfloat16"],
+                   default="same",
+                   help="mixed precision: run fwd/bwd in this dtype while "
+                        "master params + optimizer stay f32 (grads upcast "
+                        "through the cast VJP); norm stats and the loss "
+                        "softmax always reduce in f32")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--remat", nargs="?", const="full", default="none",
                    choices=["none", "full", "dots", "hybrid", "lite"],
@@ -136,7 +142,9 @@ def main(argv=None) -> int:
     step_fn = train.make_asr_train_step(
         cfg, mesh, tx, donate=False, remat=args.remat,
         attn_impl=args.attn_impl, ring=ring,
-        freeze_feature_encoder=args.freeze_feature_encoder)
+        freeze_feature_encoder=args.freeze_feature_encoder,
+        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                       else None))
 
     ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))

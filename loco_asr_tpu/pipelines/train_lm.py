@@ -69,6 +69,11 @@ def parse_args(argv=None):
                    help="PRNG for dropout masks: 'rbg' uses the TPU "
                         "hardware RNG (docs/BENCH.md RNG section); "
                         "'threefry' for bitwise reproducibility")
+    p.add_argument("--compute_dtype", choices=["same", "bfloat16"],
+                   default="same",
+                   help="mixed precision: run fwd/bwd in this dtype while "
+                        "master params + optimizer stay f32 (grads upcast "
+                        "through the cast VJP)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -133,9 +138,11 @@ def main(argv=None) -> int:
         n_sp = args.sp_devices or len(jax.devices())
         sp_mesh = JMesh(np.asarray(jax.devices()[:n_sp]), ("sequence",))
         ring = (sp_mesh, "sequence")
-    step_fn = train.make_lm_train_step(cfg, mesh, tx, donate=False,
-                                       attn_impl=args.attn_impl, ring=ring,
-                                       remat=args.remat)
+    step_fn = train.make_lm_train_step(
+        cfg, mesh, tx, donate=False, attn_impl=args.attn_impl, ring=ring,
+        remat=args.remat,
+        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                       else None))
 
     train_ds = lm_datasets.MaxLenTextDataset(args.train_file, tokenizer,
                                              max_len=args.seq_len)

@@ -75,7 +75,7 @@ def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
 
 
 def bench_train(batch: int, seconds: float, label_len: int,
-                remat="none", bf16: bool = False,
+                remat="none", bf16: bool = False, mp: bool = False,
                 freeze: bool = False, rng_impl: str = "threefry"):
     import jax
     import jax.numpy as jnp
@@ -95,9 +95,10 @@ def bench_train(batch: int, seconds: float, label_len: int,
     params = partition.shard_params(params, mesh)
     tx = train.adamw(1e-4, 0.01, 10, 1000)
     opt_state = tx.init(params)
-    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
-                                        remat=remat,
-                                        freeze_feature_encoder=freeze)
+    step_fn = train.make_asr_train_step(
+        cfg, mesh, tx, donate=False, remat=remat,
+        freeze_feature_encoder=freeze,
+        compute_dtype=jnp.bfloat16 if mp else None)
 
     rng = np.random.default_rng(0)
     t = int(seconds * 16000)
@@ -139,7 +140,8 @@ def bench_train(batch: int, seconds: float, label_len: int,
     }
     tag = "".join(
         [f" remat={remat}" if remat not in (False, None, "none") else "",
-         " bf16" if bf16 else "", " freeze" if freeze else "",
+         " bf16" if bf16 else "", " mp" if mp else "",
+         " freeze" if freeze else "",
          f" rng={rng_impl}" if rng_impl != "threefry" else ""])
     print(f"train_asr [B{batch}x{seconds:.0f}s, labels {label_len}{tag}]: "
           f"{per*1e3:.1f} ms/step ({1.0/per:.1f} steps/s, "
@@ -148,7 +150,8 @@ def bench_train(batch: int, seconds: float, label_len: int,
 
 
 def bench_longctx_train(seconds: float, batch: int, label_len: int,
-                        attn_impl: str = "flash", remat="full"):
+                        attn_impl: str = "flash", remat="full",
+                        mp: bool = False):
     """Conversation-scale ASR fine-tuning step: flash attention + remat.
     Dense attention OOMs past ~8k encoder frames (docs/BENCH.md
     conversation-length table); this row proves the long-context TRAINING
@@ -168,8 +171,9 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
     params = partition.shard_params(params, mesh)
     tx = train.adamw(1e-4, 0.01, 10, 1000)
     opt_state = tx.init(params)
-    step_fn = train.make_asr_train_step(cfg, mesh, tx, donate=False,
-                                        remat=remat, attn_impl=attn_impl)
+    step_fn = train.make_asr_train_step(
+        cfg, mesh, tx, donate=False, remat=remat, attn_impl=attn_impl,
+        compute_dtype=jnp.bfloat16 if mp else None)
 
     rng = np.random.default_rng(0)
     t = int(seconds * 16000)
@@ -196,9 +200,65 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
         f"longctx_train_step_ms": per * 1e3,
         f"longctx_train_audio_s_per_s": batch * seconds / per,
     }
-    print(f"longctx train_asr [{attn_impl}+remat={remat}, "
+    print(f"longctx train_asr [{attn_impl}+remat={remat}"
+          f"{' mp' if mp else ''}, "
           f"B{batch}x{seconds:.0f}s = {frames} frames]: "
           f"{per*1e3:.1f} ms/step ({batch*seconds/per:,.1f} audio-s/s)")
+    WWW.update(rows)
+
+
+def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
+                   mp: bool = False, rng_impl: str = "threefry"):
+    """Full-size GPT-2 LM train step (fwd+bwd+AdamW) on [bsize, seq_len]
+    token windows — the training half of the reference's lms/ subproject
+    (eval_ppl covers scoring; this row covers train_lm throughput)."""
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.parallel import mesh as meshlib, partition, train
+    from loco_asr_tpu.pipelines.eval_ppl import load_gpt2_params
+    from loco_asr_tpu.utils.profiling import device_time_per_iter
+
+    cfg = g.PRESETS[model]
+    mesh = meshlib.make_mesh(-1, 1, 1)
+    params = partition.shard_params(load_gpt2_params(None, cfg), mesh)
+    tx = train.adamw(3e-4, 0.01, 10, 1000)
+    opt_state = tx.init(params)
+    step_fn = train.make_lm_train_step(
+        cfg, mesh, tx, donate=False,
+        compute_dtype=jnp.bfloat16 if mp else None)
+
+    rng = np.random.default_rng(0)
+    batch_d = train.shard_batch({
+        "ids": jnp.asarray(rng.integers(
+            0, cfg.vocab_size, (bsize, seq_len)).astype(np.int32)),
+        "lengths": jnp.full((bsize,), seq_len, jnp.int32),
+    }, mesh)
+
+    def step(p, opt, b, r):
+        new_p, new_opt, m = step_fn(p, opt, b, r)
+        # consume every updated leaf (DCE guard — see bench_train)
+        tot = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_p))
+        return m["loss"] + m["grad_norm"] + tot * 1e-20
+
+    per = device_time_per_iter(step, params, opt_state, batch_d,
+                               jax.random.PRNGKey(0), iters=6)
+    # analytic fwd FLOPs: per token, 12 blocks x (qkvo 4h^2 + ffn 8h^2)
+    # matmuls + attention 2*T*h (x2 for q.k and p.v) + lm head h*V
+    h, L, V = cfg.n_embd, cfg.n_layer, cfg.vocab_size
+    tok = bsize * seq_len
+    fwd = tok * (L * (12 * h * h + 2 * 2 * seq_len * h) + h * V) * 2
+    mfu = 100 * 3 * fwd / per / PEAK_FLOPS
+    toks = tok / per
+    rows = {
+        "train_lm_step_ms": per * 1e3,
+        "train_lm_tokens_per_s": toks,
+        "train_lm_mfu_pct": mfu,
+    }
+    print(f"train_lm [{model}, B{bsize}x{seq_len}{' mp' if mp else ''}"
+          f"{f' rng={rng_impl}' if rng_impl != 'threefry' else ''}]: "
+          f"{per*1e3:.1f} ms/step ({toks:,.0f} tok/s, ~{mfu:.0f}% MFU)")
     WWW.update(rows)
 
 
@@ -404,7 +464,7 @@ def bench_conversations(n_convs: int, utts_per_conv: int, slots: int,
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--only", choices=["ppl", "train", "decode", "cont",
-                                      "longctx", "conv"],
+                                      "longctx", "conv", "trainlm"],
                    default=None)
     p.add_argument("--longctx_seconds", type=float, default=164.0,
                    help="audio seconds for the long-context train row "
@@ -424,7 +484,12 @@ def main(argv=None):
     p.add_argument("--train_label_len", type=int, default=128)
     p.add_argument("--train_remat", nargs="?", const="full", default="none",
                    choices=["none", "full", "dots", "hybrid", "lite"])
-    p.add_argument("--train_bf16", action="store_true")
+    p.add_argument("--train_bf16", action="store_true",
+                   help="FULL bf16 (params + optimizer cast); see "
+                        "--train_mp for the standard scheme")
+    p.add_argument("--train_mp", action="store_true",
+                   help="mixed precision: bf16 compute/activations, f32 "
+                        "master params + Adam (train step compute_dtype)")
     p.add_argument("--train_freeze", action="store_true",
                    help="freeze the conv feature extractor (HF "
                         "fine-tuning convention; skips its backward)")
@@ -449,6 +514,7 @@ def main(argv=None):
     if args.only in (None, "train"):
         bench_train(args.train_batch, args.train_seconds, args.train_label_len,
                     remat=args.train_remat, bf16=args.train_bf16,
+                    mp=args.train_mp,
                     freeze=args.train_freeze, rng_impl=args.rng_impl)
     if args.only in (None, "decode"):
         bench_decode(args.decode_seconds, args.decode_len)
@@ -457,7 +523,10 @@ def main(argv=None):
     if args.only == "longctx":
         bench_longctx_train(args.longctx_seconds, args.longctx_batch,
                             args.train_label_len,
-                            remat=args.longctx_remat)
+                            remat=args.longctx_remat, mp=args.train_mp)
+    if args.only == "trainlm":
+        bench_train_lm(args.ppl_bsize, args.ppl_max_len, args.ppl_model,
+                       mp=args.train_mp, rng_impl=args.rng_impl)
     if args.only == "conv":
         bench_conversations(8, 4, 8, 200)
     if args.json:

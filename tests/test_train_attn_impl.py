@@ -220,6 +220,62 @@ def test_lm_train_step_flash_matches_dense():
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_asr_train_step_mixed_precision(asr_setup):
+    """compute_dtype=bf16: master params + optimizer state stay f32, the
+    loss tracks the f32 step within bf16 rounding, and params move."""
+    cfg, params, batch = asr_setup
+    mesh = meshlib.make_mesh(data=1)
+    tx = optax.adamw(1e-3)
+
+    step32 = train.make_asr_train_step(cfg, mesh, tx, donate=False)
+    step16 = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                       compute_dtype=jnp.bfloat16)
+    p32, _, m32 = step32(params, tx.init(params), batch,
+                         jax.random.PRNGKey(1))
+    p16, o16, m16 = step16(params, tx.init(params), batch,
+                           jax.random.PRNGKey(1))
+
+    # master precision preserved end-to-end
+    for leaf in jax.tree_util.tree_leaves((p16, o16)):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    assert np.isfinite(float(m16["loss"]))
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=5e-2)
+    assert abs(float(m16["grad_norm"]) - float(m32["grad_norm"])) \
+        <= 0.15 * float(m32["grad_norm"]) + 1e-3
+    # params actually update
+    moved = [not np.allclose(a, b) for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(params)),
+        jax.tree_util.tree_leaves(jax.device_get(p16)))]
+    assert any(moved)
+
+
+def test_lm_train_step_mixed_precision():
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=16, n_head=2,
+                             embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {"ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32))),
+             "lengths": jnp.asarray([32, 20], jnp.int32)}
+    tx = optax.adamw(1e-3)
+    mesh = meshlib.make_mesh(data=1)
+
+    step32 = train.make_lm_train_step(cfg, mesh, tx, donate=False)
+    step16 = train.make_lm_train_step(cfg, mesh, tx, donate=False,
+                                      compute_dtype=jnp.bfloat16)
+    _, _, m32 = step32(params, tx.init(params), batch, jax.random.PRNGKey(1))
+    p16, o16, m16 = step16(params, tx.init(params), batch,
+                           jax.random.PRNGKey(1))
+    for leaf in jax.tree_util.tree_leaves((p16, o16)):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=5e-2)
+
+
 def test_asr_train_step_freeze_feature_encoder(asr_setup):
     """freeze_feature_encoder: conv feature-extractor params must be
     bit-identical after a step (incl. no weight decay), every other
