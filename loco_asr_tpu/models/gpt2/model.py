@@ -302,8 +302,8 @@ def gpt2_logits(params: Dict, cfg: GPT2Config, input_ids: jnp.ndarray,
 
 
 def token_nll_from_hidden(wte_weight: jnp.ndarray, hidden: jnp.ndarray,
-                          targets: jnp.ndarray, *, chunk: int = 256
-                          ) -> jnp.ndarray:
+                          targets: jnp.ndarray, *, chunk: int = 256,
+                          checkpoint_chunks: bool = False) -> jnp.ndarray:
     """Per-token NLL straight from final hidden states — identical numbers
     to ``token_nll(logits, targets)`` (nll = logsumexp(h.W) - h.w_tgt)
     WITHOUT materializing the [B, T, V] logits tensor.
@@ -312,6 +312,14 @@ def token_nll_from_hidden(wte_weight: jnp.ndarray, hidden: jnp.ndarray,
     XLA's multi-pass log_softmax over it is pure HBM traffic; scanning
     the time axis in ``chunk``-sized slices keeps the transient at
     [B, chunk, V] with the logsumexp+gather fused per slice.
+
+    ``checkpoint_chunks``: for TRAINING.  Without it the scan saves each
+    chunk's [B, chunk, V] logits as a residual for the backward — the
+    full logits tensor in nch pieces, no win.  With it the body is
+    ``jax.checkpoint``ed, so the backward recomputes each chunk's logits
+    from (hidden-chunk, W) and the softmax-minus-onehot cotangent flows
+    to both without any O(T·V) residual ever living in HBM (the
+    transposed scan accumulates dW across chunks).
     """
     b, t, h = hidden.shape
     hid, tgt = hidden[:, :-1], targets[:, 1:]
@@ -333,6 +341,8 @@ def token_nll_from_hidden(wte_weight: jnp.ndarray, hidden: jnp.ndarray,
         tl = jnp.take_along_axis(logits, tc[..., None], axis=-1)[..., 0]
         return carry, lse - tl
 
+    if checkpoint_chunks:
+        body = jax.checkpoint(body)
     _, out = jax.lax.scan(body, 0, (hid, tgt))
     return out.transpose(1, 0, 2).reshape(b, nch * chunk)[:, :n]
 

@@ -26,8 +26,12 @@ from .mesh import AXES, data_sharding
 def adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01,
           warmup_steps: int = 0, total_steps: Optional[int] = None) -> optax.GradientTransformation:
     if warmup_steps or total_steps:
+        total = total_steps or warmup_steps * 10
+        # tiny smoke runs (--steps 3) must not trip the schedule: clamp
+        # warmup under the total so decay_steps stays positive
+        warmup = min(warmup_steps, max(total - 1, 0))
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, warmup_steps, total_steps or warmup_steps * 10)
+            0.0, learning_rate, warmup, total)
     else:
         sched = learning_rate
     return optax.adamw(sched, weight_decay=weight_decay)
@@ -212,6 +216,7 @@ def make_lm_train_step(
     ring: Optional[tuple] = None,
     remat=False,
     compute_dtype=None,
+    loss_impl: str = "chunked",
 ) -> Callable:
     """GPT-2 causal-LM training step: batch = {ids [B, L], lengths [B]};
     loss = mean NLL over tokens 1..len-1 (padding inert under causality).
@@ -223,22 +228,40 @@ def make_lm_train_step(
     model would otherwise refuse, models/gpt2/model.py).
 
     ``compute_dtype``: e.g. ``jnp.bfloat16`` for mixed-precision training
-    (see _cast_compute) — master params/optimizer stay f32."""
+    (see _cast_compute) — master params/optimizer stay f32.
+
+    ``loss_impl``: 'chunked' (default) computes the NLL straight from
+    hidden states via the checkpointed chunked lm head — the [B, L, V]
+    logits tensor (1.6 GB f32 at gpt2/B=8/L=1024) never exists in fwd OR
+    bwd; 'dense' materializes logits (the naive form, kept for parity
+    tests)."""
     import dataclasses
 
     from ..models.gpt2 import model as g
 
     if attn_impl != "dense" and cfg.attn_pdrop > 0.0:
         cfg = dataclasses.replace(cfg, attn_pdrop=0.0)
+    if loss_impl not in ("dense", "chunked"):
+        raise ValueError(f"loss_impl must be 'dense' or 'chunked', "
+                         f"got {loss_impl!r}")
 
     def loss_fn(params, batch, rng):
         if compute_dtype is not None:
             params, batch = _cast_compute(params, batch, compute_dtype)
-        logits, _ = g.gpt2_logits(params, cfg, batch["ids"],
-                                  deterministic=False, dropout_rng=rng,
-                                  attn_impl=attn_impl, ring=ring,
-                                  remat=remat)
-        nll = g.token_nll(logits, batch["ids"])          # [B, L-1]
+        if loss_impl == "chunked":
+            hidden, _ = g.gpt2_forward(params, cfg, batch["ids"],
+                                       deterministic=False, dropout_rng=rng,
+                                       attn_impl=attn_impl, ring=ring,
+                                       remat=remat)
+            nll = g.token_nll_from_hidden(
+                params["wte"]["weight"], hidden, batch["ids"],
+                checkpoint_chunks=True)                  # [B, L-1]
+        else:
+            logits, _ = g.gpt2_logits(params, cfg, batch["ids"],
+                                      deterministic=False, dropout_rng=rng,
+                                      attn_impl=attn_impl, ring=ring,
+                                      remat=remat)
+            nll = g.token_nll(logits, batch["ids"])      # [B, L-1]
         t = nll.shape[1]
         valid = (jnp.arange(t)[None, :] < (batch["lengths"] - 1)[:, None])
         n = jnp.maximum(jnp.sum(valid), 1)

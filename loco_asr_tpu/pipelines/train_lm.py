@@ -74,6 +74,11 @@ def parse_args(argv=None):
                    help="mixed precision: run fwd/bwd in this dtype while "
                         "master params + optimizer stay f32 (grads upcast "
                         "through the cast VJP)")
+    p.add_argument("--loss_impl", choices=["chunked", "dense"],
+                   default="chunked",
+                   help="'chunked' (default) streams the lm-head loss in "
+                        "time chunks so the [B,L,V] logits never hit HBM "
+                        "(fwd or bwd); 'dense' materializes them")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -142,7 +147,8 @@ def main(argv=None) -> int:
         cfg, mesh, tx, donate=False, attn_impl=args.attn_impl, ring=ring,
         remat=args.remat,
         compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
-                       else None))
+                       else None),
+        loss_impl=args.loss_impl)
 
     train_ds = lm_datasets.MaxLenTextDataset(args.train_file, tokenizer,
                                              max_len=args.seq_len)

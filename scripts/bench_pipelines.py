@@ -208,7 +208,8 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
 
 
 def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
-                   mp: bool = False, rng_impl: str = "threefry"):
+                   mp: bool = False, rng_impl: str = "threefry",
+                   loss_impl: str = "chunked"):
     """Full-size GPT-2 LM train step (fwd+bwd+AdamW) on [bsize, seq_len]
     token windows — the training half of the reference's lms/ subproject
     (eval_ppl covers scoring; this row covers train_lm throughput)."""
@@ -227,7 +228,8 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
     opt_state = tx.init(params)
     step_fn = train.make_lm_train_step(
         cfg, mesh, tx, donate=False,
-        compute_dtype=jnp.bfloat16 if mp else None)
+        compute_dtype=jnp.bfloat16 if mp else None,
+        loss_impl=loss_impl)
 
     rng = np.random.default_rng(0)
     batch_d = train.shard_batch({
@@ -257,6 +259,7 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
         "train_lm_mfu_pct": mfu,
     }
     print(f"train_lm [{model}, B{bsize}x{seq_len}{' mp' if mp else ''}"
+          f"{f' loss={loss_impl}' if loss_impl != 'chunked' else ''}"
           f"{f' rng={rng_impl}' if rng_impl != 'threefry' else ''}]: "
           f"{per*1e3:.1f} ms/step ({toks:,.0f} tok/s, ~{mfu:.0f}% MFU)")
     WWW.update(rows)
@@ -490,6 +493,9 @@ def main(argv=None):
     p.add_argument("--train_mp", action="store_true",
                    help="mixed precision: bf16 compute/activations, f32 "
                         "master params + Adam (train step compute_dtype)")
+    p.add_argument("--train_loss_impl", choices=["chunked", "dense"],
+                   default="chunked",
+                   help="LM train-loss form (see train_lm --loss_impl)")
     p.add_argument("--train_freeze", action="store_true",
                    help="freeze the conv feature extractor (HF "
                         "fine-tuning convention; skips its backward)")
@@ -526,7 +532,8 @@ def main(argv=None):
                             remat=args.longctx_remat, mp=args.train_mp)
     if args.only == "trainlm":
         bench_train_lm(args.ppl_bsize, args.ppl_max_len, args.ppl_model,
-                       mp=args.train_mp, rng_impl=args.rng_impl)
+                       mp=args.train_mp, rng_impl=args.rng_impl,
+                       loss_impl=args.train_loss_impl)
     if args.only == "conv":
         bench_conversations(8, 4, 8, 200)
     if args.json:

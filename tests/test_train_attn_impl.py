@@ -220,6 +220,71 @@ def test_lm_train_step_flash_matches_dense():
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_lm_train_step_chunked_loss_matches_dense():
+    """loss_impl='chunked' (checkpointed chunked lm head — no [B,L,V]
+    logits in fwd or bwd) must produce the same loss and updated params
+    as the dense form, with dropout active (same rng feeds both)."""
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=16, n_head=2,
+                             embd_pdrop=0.1, attn_pdrop=0.0,
+                             resid_pdrop=0.1)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {"ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32))),
+             "lengths": jnp.asarray([32, 20], jnp.int32)}
+    # SGD, not Adam: post-Adam params are ill-conditioned in the grads
+    # (m/sqrt(v) flips direction on ~0 grads), while SGD deltas compare
+    # grads directly.  Grad agreement itself is <1e-6 (measured).
+    tx = optax.sgd(1e-2)
+    mesh = meshlib.make_mesh(data=1)
+
+    outs = {}
+    for impl in ("dense", "chunked"):
+        step = train.make_lm_train_step(cfg, mesh, tx, donate=False,
+                                        loss_impl=impl)
+        p2, _, m = step(params, tx.init(params), batch, jax.random.PRNGKey(1))
+        outs[impl] = (jax.device_get(p2), float(m["loss"]),
+                      float(m["grad_norm"]))
+    np.testing.assert_allclose(outs["chunked"][1], outs["dense"][1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs["chunked"][2], outs["dense"][2],
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["dense"][0]),
+                    jax.tree_util.tree_leaves(outs["chunked"][0])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_token_nll_from_hidden_checkpoint_grads():
+    """checkpoint_chunks changes residuals, not math: grads w.r.t. both
+    the lm-head table and the hidden states must match the dense
+    logits->log_softmax path, across a multi-chunk + ragged-pad split."""
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    rng = np.random.default_rng(1)
+    b, t, h, v = 2, 14, 8, 11      # n=13 -> chunks of 8: pad 3, 2 chunks
+    hidden = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+    wte = jnp.asarray(rng.standard_normal((v, h)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, v, (b, t)))
+
+    def dense(w, hid):
+        logits = jnp.dot(hid, w.T)
+        return jnp.sum(g.token_nll(logits, ids))
+
+    def chunked(w, hid):
+        return jnp.sum(g.token_nll_from_hidden(w, hid, ids, chunk=8,
+                                               checkpoint_chunks=True))
+
+    ld, (gwd, ghd) = jax.value_and_grad(dense, argnums=(0, 1))(wte, hidden)
+    lc, (gwc, ghc) = jax.value_and_grad(chunked, argnums=(0, 1))(wte, hidden)
+    np.testing.assert_allclose(float(lc), float(ld), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gwc), np.asarray(gwd),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ghc), np.asarray(ghd),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_asr_train_step_mixed_precision(asr_setup):
     """compute_dtype=bf16: master params + optimizer state stay f32, the
     loss tracks the f32 step within bf16 rounding, and params move."""
