@@ -209,7 +209,8 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
 
 def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
                    mp: bool = False, rng_impl: str = "threefry",
-                   loss_impl: str = "chunked"):
+                   loss_impl: str = "chunked", attn_impl: str = "dense",
+                   remat="none"):
     """Full-size GPT-2 LM train step (fwd+bwd+AdamW) on [bsize, seq_len]
     token windows — the training half of the reference's lms/ subproject
     (eval_ppl covers scoring; this row covers train_lm throughput)."""
@@ -229,7 +230,7 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
     step_fn = train.make_lm_train_step(
         cfg, mesh, tx, donate=False,
         compute_dtype=jnp.bfloat16 if mp else None,
-        loss_impl=loss_impl)
+        loss_impl=loss_impl, attn_impl=attn_impl, remat=remat)
 
     rng = np.random.default_rng(0)
     batch_d = train.shard_batch({
@@ -260,6 +261,8 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
     }
     print(f"train_lm [{model}, B{bsize}x{seq_len}{' mp' if mp else ''}"
           f"{f' loss={loss_impl}' if loss_impl != 'chunked' else ''}"
+          f"{f' attn={attn_impl}' if attn_impl != 'dense' else ''}"
+          f"{f' remat={remat}' if remat not in (False, None, 'none') else ''}"
           f"{f' rng={rng_impl}' if rng_impl != 'threefry' else ''}]: "
           f"{per*1e3:.1f} ms/step ({toks:,.0f} tok/s, ~{mfu:.0f}% MFU)")
     WWW.update(rows)
@@ -533,7 +536,8 @@ def main(argv=None):
     if args.only == "trainlm":
         bench_train_lm(args.ppl_bsize, args.ppl_max_len, args.ppl_model,
                        mp=args.train_mp, rng_impl=args.rng_impl,
-                       loss_impl=args.train_loss_impl)
+                       loss_impl=args.train_loss_impl,
+                       attn_impl=args.ppl_attn_impl, remat=args.train_remat)
     if args.only == "conv":
         bench_conversations(8, 4, 8, 200)
     if args.json:
