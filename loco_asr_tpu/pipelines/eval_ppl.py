@@ -81,6 +81,14 @@ def parse_arguments(argv=None):
                    help="sequence-parallel scheme: 'ring' rotates K/V on "
                         "the ICI ring; 'ulysses' head-scatters via "
                         "all-to-all (needs n_head %% devices == 0)")
+    p.add_argument("--compute_dtype", choices=["same", "bfloat16"],
+                   default="same",
+                   help="OPT-IN speed mode: cast weights/activations to "
+                        "bf16 for scoring (logsumexp + NLL still "
+                        "accumulate f32 in the chunked lm head). "
+                        "Departs the exact reference NLL contract by "
+                        "bf16 rounding (measured mean |dNLL| ~1e-3, see "
+                        "docs/BENCH.md); keep 'same' for parity runs")
     p.add_argument("--attn_impl", choices=["dense", "flash"], default="dense",
                    help="single-chip attention path for scoring windows: "
                         "'flash' streams causal attention through the "
@@ -157,6 +165,12 @@ def main(argv=None) -> int:
     if args.tokenizer == "char":
         tokenizer.vocab_size = cfg.vocab_size  # keep ids inside the model vocab
     params = load_gpt2_params(args.checkpoint, cfg)
+    if args.compute_dtype == "bfloat16":
+        from ..utils.pytree import cast_floating
+        params = cast_floating(params, jnp.bfloat16)
+        logger.info("scoring in bfloat16 (f32 logsumexp/NLL accumulation);"
+                    " NLLs differ from the f32 reference contract by bf16"
+                    " rounding")
     max_len = args.max_len or cfg.n_positions
     if max_len > cfg.n_positions:
         # reference semantics: the window IS the model context

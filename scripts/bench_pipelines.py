@@ -37,7 +37,8 @@ PEAK_FLOPS = 197e12
 WWW = {}
 
 
-def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
+def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense",
+              bf16: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +47,9 @@ def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
 
     cfg = g.PRESETS[model]
     params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    if bf16:  # eval_ppl --compute_dtype bfloat16
+        from loco_asr_tpu.utils.pytree import cast_floating
+        params = cast_floating(params, jnp.bfloat16)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size,
                                    (bsize, max_len)).astype(np.int32))
@@ -65,7 +69,8 @@ def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense"):
         "ppl_streaming_useful_tokens_per_s": bsize * (max_len // 2) / per,
         "ppl_fwd_mfu_pct": 100 * flops / per / PEAK_FLOPS,
     }
-    print(f"eval_ppl [{model} {attn_impl}, {bsize}x{max_len}]: "
+    print(f"eval_ppl [{model} {attn_impl}{' bf16' if bf16 else ''}, "
+          f"{bsize}x{max_len}]: "
           f"{per*1e3:.2f} ms/window-batch"
           f" -> indep {rows['ppl_indep_tokens_per_s']:,.0f} tok/s,"
           f" max_len {rows['ppl_max_len_useful_tokens_per_s']:,.0f} useful tok/s,"
@@ -496,6 +501,8 @@ def main(argv=None):
     p.add_argument("--train_mp", action="store_true",
                    help="mixed precision: bf16 compute/activations, f32 "
                         "master params + Adam (train step compute_dtype)")
+    p.add_argument("--ppl_bf16", action="store_true",
+                   help="score in bf16 (eval_ppl --compute_dtype bfloat16)")
     p.add_argument("--train_loss_impl", choices=["chunked", "dense"],
                    default="chunked",
                    help="LM train-loss form (see train_lm --loss_impl)")
@@ -519,7 +526,7 @@ def main(argv=None):
           file=sys.stderr)
     if args.only in (None, "ppl"):
         bench_ppl(args.ppl_bsize, args.ppl_max_len, args.ppl_model,
-                  args.ppl_attn_impl)
+                  args.ppl_attn_impl, bf16=args.ppl_bf16)
     if args.only in (None, "train"):
         bench_train(args.train_batch, args.train_seconds, args.train_label_len,
                     remat=args.train_remat, bf16=args.train_bf16,

@@ -203,6 +203,32 @@ def test_eval_ppl_attn_impl_flash_matches_dense(fisher_text, tmp_path):
                                    rtol=0, atol=2e-5)
 
 
+def test_eval_ppl_bf16_scoring_close_to_f32(fisher_text, tmp_path):
+    """--compute_dtype bfloat16 (opt-in speed mode) must track the f32
+    NLLs within bf16 rounding — finite, same utterance set, small mean
+    absolute delta (logsumexp/NLL still accumulate f32)."""
+    from loco_asr_tpu.pipelines import eval_ppl
+
+    outs = {}
+    for dt in ("same", "bfloat16"):
+        out = tmp_path / dt
+        rc = eval_ppl.main(["-i", fisher_text, "-o", str(out), "--model",
+                            "tiny", "--context_type", "indep", "--bsize",
+                            "8", "--compute_dtype", dt])
+        assert rc == 0
+        with open(out / "rec_id2nlls.pkl", "rb") as f:
+            outs[dt] = pickle.load(f)
+    assert set(outs["same"]) == set(outs["bfloat16"])
+    deltas = []
+    for rec in outs["same"]:
+        a = np.asarray(outs["same"][rec], np.float64)
+        b = np.asarray(outs["bfloat16"][rec], np.float64)
+        assert a.shape == b.shape and np.isfinite(b).all()
+        deltas.append(np.abs(a - b))
+    mean_delta = float(np.concatenate(deltas).mean())
+    assert mean_delta < 5e-2, mean_delta
+
+
 def test_eval_ppl_max_len_matches_reference_algorithm(fisher_text, tmp_path):
     """Our batched max_len scorer must produce the same per-recording NLL
     lists as a direct re-execution of the reference's stride-1 loop."""
