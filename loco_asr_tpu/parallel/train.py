@@ -24,7 +24,11 @@ from .mesh import AXES, data_sharding
 
 
 def adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01,
-          warmup_steps: int = 0, total_steps: Optional[int] = None) -> optax.GradientTransformation:
+          warmup_steps: int = 0, total_steps: Optional[int] = None,
+          clip_norm: Optional[float] = None) -> optax.GradientTransformation:
+    """AdamW with warmup-cosine schedule and optional global-norm
+    gradient clipping (``clip_norm``; applied before the moment
+    updates, the standard large-model recipe)."""
     if warmup_steps or total_steps:
         total = total_steps or warmup_steps * 10
         # tiny smoke runs (--steps 3) must not trip the schedule: clamp
@@ -34,7 +38,10 @@ def adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01,
             0.0, learning_rate, warmup, total)
     else:
         sched = learning_rate
-    return optax.adamw(sched, weight_decay=weight_decay)
+    tx = optax.adamw(sched, weight_decay=weight_decay)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
 
 
 def reference_adam(learning_rate: float = 1e-3, weight_decay: float = 1e-4):
@@ -141,6 +148,49 @@ def _cast_compute(params: Dict, batch: Dict, compute_dtype) -> tuple:
     return params, batch
 
 
+def _accum_value_and_grad(loss_fn, params, batch, rng, accum: int):
+    """Gradient accumulation over ``accum`` microbatches, EXACTLY
+    equivalent to the full-batch step (dropout aside — each microbatch
+    draws its own masks from a split of ``rng``).
+
+    ``loss_fn(params, micro_batch, rng) -> (loss, aux)`` must report
+    ``aux['nll_sum']``/``aux['ntokens']`` (both trainers' losses do).
+    The accumulated quantity is the SUM-form loss: grads of nll_sum add
+    across microbatches and one final division by the total token count
+    reproduces the token-mean gradient — the microbatch mean would
+    mis-weight ragged batches.  lax.scan keeps one microbatch of
+    activations live at a time (the memory win)."""
+    b = next(iter(batch.values())).shape[0]
+    if b % accum:
+        raise ValueError(f"batch size {b} not divisible by "
+                         f"grad_accum {accum}")
+    mb = b // accum
+    micro = {k: v.reshape((accum, mb) + v.shape[1:])
+             for k, v in batch.items()}
+    rngs = jax.random.split(rng, accum)
+
+    def sum_loss(p, mb_batch, r):
+        loss, aux = loss_fn(p, mb_batch, r)
+        return aux["nll_sum"].astype(jnp.float32), aux["ntokens"]
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def body(carry, xs):
+        gacc, nll_acc, tok_acc = carry
+        mb_batch, r = xs
+        (nll, ntok), g = jax.value_and_grad(sum_loss, has_aux=True)(
+            params, mb_batch, r)
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+        return (gacc, nll_acc + nll, tok_acc + ntok.astype(jnp.float32)), None
+
+    (gsum, nll_sum, ntok), _ = jax.lax.scan(
+        body, (zeros, jnp.float32(0.0), jnp.float32(0.0)), (micro, rngs))
+    n = jnp.maximum(ntok, 1.0)
+    grads = jax.tree_util.tree_map(lambda g: (g / n).astype(g.dtype), gsum)
+    loss = nll_sum / n
+    return loss, {"ntokens": ntok, "nll_sum": nll_sum}, grads
+
+
 def make_asr_train_step(
     cfg: SpeechT5Config,
     mesh: Mesh,
@@ -152,9 +202,15 @@ def make_asr_train_step(
     ring: Optional[tuple] = None,
     freeze_feature_encoder: bool = False,
     compute_dtype=None,
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns jit'd step(params, opt_state, batch, rng) -> (params,
     opt_state, metrics); fully sharded (params: FSDP/TP, batch: DP).
+
+    ``grad_accum``: split the batch into this many microbatches and
+    accumulate sum-form gradients (_accum_value_and_grad) — exact
+    token-mean equivalence to the full-batch step, at 1/N the
+    activation memory (trains effective batches that OOM monolithic).
 
     ``attn_impl``: 'dense' | 'flash' | 'ring' | 'ulysses' routes encoder
     self-attention (models/speecht5/model.asr_loss) — flash+remat is what
@@ -197,8 +253,12 @@ def make_asr_train_step(
         return loss, aux
 
     def step(params, opt_state, batch, rng):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, rng)
+        if grad_accum > 1:
+            loss, aux, grads = _accum_value_and_grad(
+                loss_fn, params, batch, rng, grad_accum)
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         if freeze_feature_encoder:
             updates = _zero_feature_encoder_updates(updates)
@@ -217,6 +277,7 @@ def make_lm_train_step(
     remat=False,
     compute_dtype=None,
     loss_impl: str = "chunked",
+    grad_accum: int = 1,
 ) -> Callable:
     """GPT-2 causal-LM training step: batch = {ids [B, L], lengths [B]};
     loss = mean NLL over tokens 1..len-1 (padding inert under causality).
@@ -269,8 +330,12 @@ def make_lm_train_step(
         return loss, {"ntokens": n, "nll_sum": jnp.sum(nll * valid)}
 
     def step(params, opt_state, batch, rng):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, rng)
+        if grad_accum > 1:
+            loss, aux, grads = _accum_value_and_grad(
+                loss_fn, params, batch, rng, grad_accum)
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss,

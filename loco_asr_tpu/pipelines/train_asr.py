@@ -31,6 +31,12 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=500)
     p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--grad_clip", type=float, default=None,
+                   help="global-norm gradient clipping threshold")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (sum-form "
+                        "accumulation, exact token-mean equivalence; "
+                        "batch_size must divide evenly)")
     p.add_argument("--eval_every", type=int, default=1000)
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--max_seconds", type=float, default=20.0)
@@ -130,7 +136,8 @@ def main(argv=None) -> int:
         from ..utils.pytree import cast_floating
         params = cast_floating(params, jnp.bfloat16)
     params = partition.shard_params(params, mesh)
-    tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps, args.steps)
+    tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps,
+                     args.steps, clip_norm=args.grad_clip)
     opt_state = tx.init(params)
     ring = None
     if args.attn_impl in ("ring", "ulysses"):
@@ -144,7 +151,8 @@ def main(argv=None) -> int:
         attn_impl=args.attn_impl, ring=ring,
         freeze_feature_encoder=args.freeze_feature_encoder,
         compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
-                       else None))
+                       else None),
+        grad_accum=args.grad_accum)
 
     ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))

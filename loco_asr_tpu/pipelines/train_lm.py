@@ -74,6 +74,12 @@ def parse_args(argv=None):
                    help="mixed precision: run fwd/bwd in this dtype while "
                         "master params + optimizer stay f32 (grads upcast "
                         "through the cast VJP)")
+    p.add_argument("--grad_clip", type=float, default=None,
+                   help="global-norm gradient clipping threshold")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (sum-form "
+                        "accumulation, exact token-mean equivalence; "
+                        "batch_size must divide evenly)")
     p.add_argument("--loss_impl", choices=["chunked", "dense"],
                    default="chunked",
                    help="'chunked' (default) streams the lm-head loss in "
@@ -134,7 +140,8 @@ def main(argv=None) -> int:
     mesh = meshlib.make_mesh(*dims)
     params = load_gpt2_params(args.checkpoint, cfg)
     params = partition.shard_params(params, mesh)
-    tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps, args.steps)
+    tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps,
+                     args.steps, clip_norm=args.grad_clip)
     opt_state = tx.init(params)
     ring = None
     if args.attn_impl in ("ring", "ulysses"):
@@ -148,7 +155,7 @@ def main(argv=None) -> int:
         remat=args.remat,
         compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
                        else None),
-        loss_impl=args.loss_impl)
+        loss_impl=args.loss_impl, grad_accum=args.grad_accum)
 
     train_ds = lm_datasets.MaxLenTextDataset(args.train_file, tokenizer,
                                              max_len=args.seq_len)

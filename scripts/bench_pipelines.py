@@ -215,7 +215,7 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
 def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
                    mp: bool = False, rng_impl: str = "threefry",
                    loss_impl: str = "chunked", attn_impl: str = "dense",
-                   remat="none"):
+                   remat="none", accum: int = 1):
     """Full-size GPT-2 LM train step (fwd+bwd+AdamW) on [bsize, seq_len]
     token windows — the training half of the reference's lms/ subproject
     (eval_ppl covers scoring; this row covers train_lm throughput)."""
@@ -235,7 +235,8 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
     step_fn = train.make_lm_train_step(
         cfg, mesh, tx, donate=False,
         compute_dtype=jnp.bfloat16 if mp else None,
-        loss_impl=loss_impl, attn_impl=attn_impl, remat=remat)
+        loss_impl=loss_impl, attn_impl=attn_impl, remat=remat,
+        grad_accum=accum)
 
     rng = np.random.default_rng(0)
     batch_d = train.shard_batch({
@@ -268,6 +269,7 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
           f"{f' loss={loss_impl}' if loss_impl != 'chunked' else ''}"
           f"{f' attn={attn_impl}' if attn_impl != 'dense' else ''}"
           f"{f' remat={remat}' if remat not in (False, None, 'none') else ''}"
+          f"{f' accum={accum}' if accum > 1 else ''}"
           f"{f' rng={rng_impl}' if rng_impl != 'threefry' else ''}]: "
           f"{per*1e3:.1f} ms/step ({toks:,.0f} tok/s, ~{mfu:.0f}% MFU)")
     WWW.update(rows)
@@ -501,6 +503,8 @@ def main(argv=None):
     p.add_argument("--train_mp", action="store_true",
                    help="mixed precision: bf16 compute/activations, f32 "
                         "master params + Adam (train step compute_dtype)")
+    p.add_argument("--train_accum", type=int, default=1,
+                   help="grad-accumulation microbatches for the trainlm row")
     p.add_argument("--ppl_bf16", action="store_true",
                    help="score in bf16 (eval_ppl --compute_dtype bfloat16)")
     p.add_argument("--train_loss_impl", choices=["chunked", "dense"],
@@ -544,7 +548,8 @@ def main(argv=None):
         bench_train_lm(args.ppl_bsize, args.ppl_max_len, args.ppl_model,
                        mp=args.train_mp, rng_impl=args.rng_impl,
                        loss_impl=args.train_loss_impl,
-                       attn_impl=args.ppl_attn_impl, remat=args.train_remat)
+                       attn_impl=args.ppl_attn_impl, remat=args.train_remat,
+                       accum=args.train_accum)
     if args.only == "conv":
         bench_conversations(8, 4, 8, 200)
     if args.json:

@@ -220,6 +220,72 @@ def test_lm_train_step_flash_matches_dense():
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_asr_train_step_grad_accum_matches_full(asr_setup):
+    """grad_accum=2 must reproduce the monolithic step exactly (sum-form
+    accumulation + one token-mean division; dropout off so the rng split
+    is inert)."""
+    cfg, params, batch = asr_setup
+    mesh = meshlib.make_mesh(data=1)
+    tx = optax.sgd(1e-2)
+
+    outs = {}
+    for accum in (1, 2):
+        step = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                         grad_accum=accum)
+        p2, _, m = step(params, tx.init(params), batch, jax.random.PRNGKey(1))
+        outs[accum] = (jax.device_get(p2), float(m["loss"]))
+    np.testing.assert_allclose(outs[2][1], outs[1][1], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[1][0]),
+                    jax.tree_util.tree_leaves(outs[2][0])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_lm_train_step_grad_accum_matches_full():
+    """LM grad accumulation with RAGGED microbatches (31 vs 19 valid
+    tokens) — the sum-form weighting is what makes this exact; a mean-of-
+    microbatch-means would be off by ~24%."""
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=16, n_head=2,
+                             embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {"ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32))),
+             "lengths": jnp.asarray([32, 20], jnp.int32)}
+    tx = optax.sgd(1e-2)
+    mesh = meshlib.make_mesh(data=1)
+
+    outs = {}
+    for accum in (1, 2):
+        step = train.make_lm_train_step(cfg, mesh, tx, donate=False,
+                                        grad_accum=accum)
+        p2, _, m = step(params, tx.init(params), batch, jax.random.PRNGKey(1))
+        outs[accum] = (jax.device_get(p2), float(m["loss"]))
+    np.testing.assert_allclose(outs[2][1], outs[1][1], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[1][0]),
+                    jax.tree_util.tree_leaves(outs[2][0])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+    # indivisible batch must be rejected at trace time
+    bad = train.make_lm_train_step(cfg, mesh, tx, donate=False, grad_accum=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        bad(params, tx.init(params), batch, jax.random.PRNGKey(1))
+
+
+def test_adamw_clip_norm_plumbs():
+    """clip_norm caps the gradient fed to Adam: with a tiny threshold the
+    first-step update must shrink versus unclipped (bias-corrected Adam
+    normalizes magnitude away otherwise, so compare against clip=0)."""
+    params = {"w": jnp.ones((4,)) * 2.0}
+    grads = {"w": jnp.full((4,), 100.0)}
+    for clip, expect_move in ((None, True), (1e-30, False)):
+        tx = train.adamw(1e-1, 0.0, clip_norm=clip)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        moved = float(jnp.abs(upd["w"]).max()) > 1e-6
+        assert moved == expect_move, (clip, jax.device_get(upd))
+
+
 def test_lm_train_step_chunked_loss_matches_dense():
     """loss_impl='chunked' (checkpointed chunked lm head — no [B,L,V]
     logits in fwd or bwd) must produce the same loss and updated params
