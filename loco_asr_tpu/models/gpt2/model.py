@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention, layers
+from ...ops.act_sharding import constrain_batch
 from ...ops.remat import tag_big
 
 
@@ -221,6 +222,9 @@ def gpt2_forward(
     if dropout_rng is not None:
         dropout_rng, sub = jax.random.split(dropout_rng)
         x = layers.dropout(sub, x, cfg.embd_pdrop, deterministic)
+    # boundary activation-sharding constraint (no-op outside a sharded
+    # step's ops.act_sharding.activation_mesh context)
+    x = constrain_batch(x)
 
     kv_valid_len = None
     if kv_caches is None:
@@ -289,6 +293,7 @@ def gpt2_forward(
             new_caches[str(i)] = upd
 
     x = layers.layer_norm(params["ln_f"], x, eps=cfg.layer_norm_epsilon)
+    x = constrain_batch(x)
     return x, new_caches
 
 

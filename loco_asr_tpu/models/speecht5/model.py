@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import layers
+from ...ops.act_sharding import constrain_batch
 from . import decoder as dec
 from . import encoder as enc
 from . import prenets
@@ -121,14 +122,20 @@ def asr_forward(
                                              deterministic=deterministic, rng=r1,
                                              remat=remat, attn_impl=attn_impl,
                                              ring=ring)
+    # Boundary activation-sharding constraints (no-ops outside a sharded
+    # step's ops.act_sharding.activation_mesh context): pin the megatron
+    # batch-sharded layout between encoder, prenet, decoder, and postnet.
+    encoder_hidden = constrain_batch(encoder_hidden)
     dec_in = prenets.text_decoder_prenet(params["decoder"]["prenet"], cfg,
                                          decoder_input_ids)
     dec_in = layers.dropout(r2, dec_in, cfg.positional_dropout, deterministic)
+    dec_in = constrain_batch(dec_in)
     hidden, _ = dec.decoder(params["decoder"]["wrapped_decoder"], cfg, dec_in,
                             encoder_hidden,
                             attention_mask=decoder_attention_mask,
                             encoder_attention_mask=enc_mask,
                             deterministic=deterministic, dropout_rng=r3)
+    hidden = constrain_batch(hidden)
     return prenets.text_decoder_postnet(params["text_decoder_postnet"], hidden)
 
 

@@ -9,6 +9,7 @@ the framework never writes a collective by hand here (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from functools import partial
 from typing import Any, Callable, Dict, Optional
 
@@ -19,6 +20,7 @@ from jax.sharding import Mesh
 
 from ..models.speecht5 import model as st5
 from ..models.speecht5.config import SpeechT5Config
+from ..ops.act_sharding import activation_mesh
 from . import partition
 from .mesh import AXES, data_sharding
 
@@ -165,7 +167,13 @@ def _accum_value_and_grad(loss_fn, params, batch, rng, accum: int):
         raise ValueError(f"batch size {b} not divisible by "
                          f"grad_accum {accum}")
     mb = b // accum
-    micro = {k: v.reshape((accum, mb) + v.shape[1:])
+    # STRIDED split (microbatch j = rows j, j+accum, ...): under DP
+    # sharding each device holds a contiguous B/dp block, so a contiguous
+    # split would put whole microbatches on one device and GSPMD would
+    # re-shard every scan step; the strided split keeps every microbatch
+    # evenly spread.  Sum-form accumulation is permutation-invariant, so
+    # the assignment doesn't affect the result.
+    micro = {k: v.reshape((mb, accum) + v.shape[1:]).swapaxes(0, 1)
              for k, v in batch.items()}
     rngs = jax.random.split(rng, accum)
 
@@ -241,15 +249,25 @@ def make_asr_train_step(
     if attn_impl != "dense" and cfg.attention_dropout > 0.0:
         cfg = dataclasses.replace(cfg, attention_dropout=0.0)
 
+    # boundary activation-sharding constraints (models call
+    # ops.act_sharding.constrain_batch at module seams) — pins the
+    # batch-sharded megatron layout so GSPMD never propagates exotic
+    # activation shardings through the composed fwd+bwd (see
+    # act_sharding.py for the 3-axis-mesh miscompile this also guards).
+    # Ring/Ulysses SP shard the SEQUENCE axis instead, so the batch-only
+    # constraint must stay off there.
+    use_act_mesh = attn_impl not in ("ring", "ulysses")
+
     def loss_fn(params, batch, rng):
         if freeze_feature_encoder:
             params = _with_frozen_feature_encoder(params)
         if compute_dtype is not None:
             params, batch = _cast_compute(params, batch, compute_dtype)
-        loss, aux = st5.asr_loss(
-            params, cfg, batch["input_values"], batch["attention_mask"],
-            batch["labels"], deterministic=False, rng=rng, remat=remat,
-            attn_impl=attn_impl, ring=ring)
+        with activation_mesh(mesh) if use_act_mesh else _nullcontext():
+            loss, aux = st5.asr_loss(
+                params, cfg, batch["input_values"], batch["attention_mask"],
+                batch["labels"], deterministic=False, rng=rng, remat=remat,
+                attn_impl=attn_impl, ring=ring)
         return loss, aux
 
     def step(params, opt_state, batch, rng):
@@ -306,23 +324,29 @@ def make_lm_train_step(
         raise ValueError(f"loss_impl must be 'dense' or 'chunked', "
                          f"got {loss_impl!r}")
 
+    # see make_asr_train_step: batch-layout constraints stay off under SP
+    use_act_mesh = attn_impl not in ("ring", "ulysses")
+
     def loss_fn(params, batch, rng):
         if compute_dtype is not None:
             params, batch = _cast_compute(params, batch, compute_dtype)
-        if loss_impl == "chunked":
-            hidden, _ = g.gpt2_forward(params, cfg, batch["ids"],
-                                       deterministic=False, dropout_rng=rng,
-                                       attn_impl=attn_impl, ring=ring,
-                                       remat=remat)
-            nll = g.token_nll_from_hidden(
-                params["wte"]["weight"], hidden, batch["ids"],
-                checkpoint_chunks=True)                  # [B, L-1]
-        else:
-            logits, _ = g.gpt2_logits(params, cfg, batch["ids"],
-                                      deterministic=False, dropout_rng=rng,
-                                      attn_impl=attn_impl, ring=ring,
-                                      remat=remat)
-            nll = g.token_nll(logits, batch["ids"])      # [B, L-1]
+        with activation_mesh(mesh) if use_act_mesh else _nullcontext():
+            if loss_impl == "chunked":
+                hidden, _ = g.gpt2_forward(params, cfg, batch["ids"],
+                                           deterministic=False,
+                                           dropout_rng=rng,
+                                           attn_impl=attn_impl, ring=ring,
+                                           remat=remat)
+                nll = g.token_nll_from_hidden(
+                    params["wte"]["weight"], hidden, batch["ids"],
+                    checkpoint_chunks=True)              # [B, L-1]
+            else:
+                logits, _ = g.gpt2_logits(params, cfg, batch["ids"],
+                                          deterministic=False,
+                                          dropout_rng=rng,
+                                          attn_impl=attn_impl, ring=ring,
+                                          remat=remat)
+                nll = g.token_nll(logits, batch["ids"])  # [B, L-1]
         t = nll.shape[1]
         valid = (jnp.arange(t)[None, :] < (batch["lengths"] - 1)[:, None])
         n = jnp.maximum(jnp.sum(valid), 1)

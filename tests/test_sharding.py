@@ -22,6 +22,18 @@ def mesh8():
     return meshlib.make_mesh(data=2, fsdp=2, tensor=2)
 
 
+def _no_dropout_cfg():
+    import dataclasses
+
+    cfg = tiny_config(hidden_size=32, encoder_attention_heads=4,
+                      decoder_attention_heads=4, encoder_ffn_dim=64,
+                      decoder_ffn_dim=64)
+    return dataclasses.replace(
+        cfg, positional_dropout=0.0, hidden_dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, apply_spec_augment=False)
+
+
 def test_make_mesh_infer_axis():
     m = meshlib.make_mesh(data=-1, fsdp=1, tensor=2)
     assert m.shape["data"] * m.shape["tensor"] == jax.device_count()
@@ -93,6 +105,76 @@ def test_sharded_asr_train_step(mesh8):
     for a, b in zip(jax.tree_util.tree_leaves((p1, o1)),
                     jax.tree_util.tree_leaves((p2, o2))):
         assert a.sharding == b.sharding, (a.sharding, b.sharding)
+
+
+def _tiny_asr_batch(cfg, b=8):
+    rng = np.random.default_rng(1)
+    return {
+        "input_values": jnp.asarray(
+            rng.standard_normal((b, 320)).astype(np.float32)),
+        "attention_mask": jnp.ones((b, 320), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 6))),
+    }
+
+
+def test_sharded_train_step_grad_accum(mesh8):
+    """grad_accum under the DP+FSDP+TP mesh: the scanned microbatch step
+    must compile, run, and match the monolithic sharded step up to f32
+    reduction-order roundoff (dropout-free tiny config).
+
+    SGD keeps the param comparison well-conditioned: Adam's first-step
+    update is ~sign(g)*lr, infinitely sensitive to roundoff where g~0."""
+    cfg = _no_dropout_cfg()
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    params = partition.shard_params(params, mesh8)
+    import optax
+    tx = optax.sgd(1e-2)
+
+    batch = train.shard_batch(_tiny_asr_batch(cfg), mesh8)
+    outs = {}
+    for accum in (1, 2):
+        step = train.make_asr_train_step(cfg, mesh8, tx, donate=False,
+                                         grad_accum=accum)
+        p1, _, m = step(params, tx.init(params), batch,
+                        jax.random.PRNGKey(2))
+        outs[accum] = (jax.device_get(p1), float(m["loss"]),
+                       float(m["grad_norm"]))
+    np.testing.assert_allclose(outs[2][1], outs[1][1], rtol=1e-6)
+    np.testing.assert_allclose(outs[2][2], outs[1][2], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[1][0]),
+                    jax.tree_util.tree_leaves(outs[2][0])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_forward_parity_3axis(mesh8):
+    """Regression pin for the 3-axis-mesh composed-forward miscompile
+    (XLA:CPU SPMD, jax 0.9.0): without the boundary activation-sharding
+    constraints (ops/act_sharding.py) the encoder->decoder program on a
+    (2,2,2) mesh returned self-attention outputs off by O(1) while every
+    stage matched in isolation.  The sharded train-step loss must match
+    the single-device loss to f32 roundoff."""
+    cfg = _no_dropout_cfg()
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    batch = _tiny_asr_batch(cfg)
+
+    loss1, aux1 = jax.jit(
+        lambda p, b, r: st5.asr_loss(
+            p, cfg, b["input_values"], b["attention_mask"], b["labels"],
+            deterministic=False, rng=r)
+    )(params, batch, jax.random.PRNGKey(2))
+
+    import optax
+    step = train.make_asr_train_step(cfg, mesh8, optax.sgd(1e-2),
+                                     donate=False)
+    ps = partition.shard_params(params, mesh8)
+    bs = train.shard_batch(batch, mesh8)
+    _, _, m = step(ps, optax.sgd(1e-2).init(ps), bs, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m["loss"]), float(loss1), rtol=2e-6)
+    np.testing.assert_allclose(float(m["nll_sum"]), float(aux1["nll_sum"]),
+                               rtol=2e-6)
 
 
 def test_multislice_mesh_falls_back_single_slice():
