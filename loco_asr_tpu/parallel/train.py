@@ -27,10 +27,18 @@ from .mesh import AXES, data_sharding
 
 def adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01,
           warmup_steps: int = 0, total_steps: Optional[int] = None,
-          clip_norm: Optional[float] = None) -> optax.GradientTransformation:
+          clip_norm: Optional[float] = None,
+          mu_dtype=None) -> optax.GradientTransformation:
     """AdamW with warmup-cosine schedule and optional global-norm
     gradient clipping (``clip_norm``; applied before the moment
-    updates, the standard large-model recipe)."""
+    updates, the standard large-model recipe).
+
+    ``mu_dtype`` (e.g. ``jnp.bfloat16``) stores Adam's FIRST moment in
+    a narrower dtype — halves its HBM footprint + per-step traffic.
+    The first moment is a smoothed gradient (bf16-robust); the second
+    moment stays f32, whose wide dynamic range bf16 cannot hold.  This
+    is what makes gpt2-large-class models trainable on one 16 GB chip
+    (docs/BENCH.md GPT-2 family table)."""
     if warmup_steps or total_steps:
         total = total_steps or warmup_steps * 10
         # tiny smoke runs (--steps 3) must not trip the schedule: clamp
@@ -40,7 +48,7 @@ def adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01,
             0.0, learning_rate, warmup, total)
     else:
         sched = learning_rate
-    tx = optax.adamw(sched, weight_decay=weight_decay)
+    tx = optax.adamw(sched, weight_decay=weight_decay, mu_dtype=mu_dtype)
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx

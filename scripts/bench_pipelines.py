@@ -215,7 +215,7 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
 def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
                    mp: bool = False, rng_impl: str = "threefry",
                    loss_impl: str = "chunked", attn_impl: str = "dense",
-                   remat="none", accum: int = 1):
+                   remat="none", accum: int = 1, mu_bf16: bool = False):
     """Full-size GPT-2 LM train step (fwd+bwd+AdamW) on [bsize, seq_len]
     token windows — the training half of the reference's lms/ subproject
     (eval_ppl covers scoring; this row covers train_lm throughput)."""
@@ -230,7 +230,8 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
     cfg = g.PRESETS[model]
     mesh = meshlib.make_mesh(-1, 1, 1)
     params = partition.shard_params(load_gpt2_params(None, cfg), mesh)
-    tx = train.adamw(3e-4, 0.01, 10, 1000)
+    tx = train.adamw(3e-4, 0.01, 10, 1000,
+                     mu_dtype=jnp.bfloat16 if mu_bf16 else None)
     opt_state = tx.init(params)
     step_fn = train.make_lm_train_step(
         cfg, mesh, tx, donate=False,
@@ -270,6 +271,7 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
           f"{f' attn={attn_impl}' if attn_impl != 'dense' else ''}"
           f"{f' remat={remat}' if remat not in (False, None, 'none') else ''}"
           f"{f' accum={accum}' if accum > 1 else ''}"
+          f"{' mu=bf16' if mu_bf16 else ''}"
           f"{f' rng={rng_impl}' if rng_impl != 'threefry' else ''}]: "
           f"{per*1e3:.1f} ms/step ({toks:,.0f} tok/s, ~{mfu:.0f}% MFU)")
     WWW.update(rows)
@@ -505,6 +507,9 @@ def main(argv=None):
                         "master params + Adam (train step compute_dtype)")
     p.add_argument("--train_accum", type=int, default=1,
                    help="grad-accumulation microbatches for the trainlm row")
+    p.add_argument("--train_mu_bf16", action="store_true",
+                   help="store Adam's first moment in bf16 "
+                        "(train.adamw mu_dtype; halves mu HBM)")
     p.add_argument("--ppl_bf16", action="store_true",
                    help="score in bf16 (eval_ppl --compute_dtype bfloat16)")
     p.add_argument("--train_loss_impl", choices=["chunked", "dense"],
@@ -549,7 +554,7 @@ def main(argv=None):
                        mp=args.train_mp, rng_impl=args.rng_impl,
                        loss_impl=args.train_loss_impl,
                        attn_impl=args.ppl_attn_impl, remat=args.train_remat,
-                       accum=args.train_accum)
+                       accum=args.train_accum, mu_bf16=args.train_mu_bf16)
     if args.only == "conv":
         bench_conversations(8, 4, 8, 200)
     if args.json:

@@ -445,3 +445,48 @@ def test_asr_train_step_freeze_feature_encoder(asr_setup):
             jax.tree_util.tree_leaves(enc_f["wrapped_encoder"]))
     ]
     assert all(moved)
+
+
+def test_adamw_mu_dtype_bf16():
+    """mu_dtype=bfloat16 stores Adam's FIRST moment in bf16 (halving its
+    HBM footprint — what lets gpt2-large train on one 16 GB chip, see
+    docs/BENCH.md) while the second moment stays f32; the loss
+    trajectory must track the f32-mu run closely."""
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=16, n_head=2,
+                             embd_pdrop=0.0, attn_pdrop=0.0,
+                             resid_pdrop=0.0)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {"ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32))),
+             "lengths": jnp.asarray([32, 32], jnp.int32)}
+    mesh = meshlib.make_mesh(data=1)
+    n_param_leaves = len(jax.tree_util.tree_leaves(params))
+
+    trajs = {}
+    for name, mu_dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        tx = train.adamw(1e-3, 0.01, mu_dtype=mu_dtype)
+        step = train.make_lm_train_step(cfg, mesh, tx, donate=False)
+        p, opt = params, tx.init(params)
+        if mu_dtype is not None:
+            dtypes = [x.dtype for x in jax.tree_util.tree_leaves(opt)
+                      if hasattr(x, "dtype")
+                      and jnp.issubdtype(x.dtype, jnp.floating)]
+            # exactly the mu tree is bf16; nu (same leaf count) stays f32
+            assert dtypes.count(jnp.bfloat16) == n_param_leaves, dtypes
+            assert dtypes.count(jnp.float32) >= n_param_leaves, dtypes
+        traj = []
+        for i in range(5):
+            p, opt, m = step(p, opt, batch, jax.random.PRNGKey(i))
+            traj.append(float(m["loss"]))
+        trajs[name] = traj
+        if mu_dtype is not None:
+            # dtype must survive the update (no silent f32 promotion)
+            dtypes = [x.dtype for x in jax.tree_util.tree_leaves(opt)
+                      if hasattr(x, "dtype")
+                      and jnp.issubdtype(x.dtype, jnp.floating)]
+            assert dtypes.count(jnp.bfloat16) == n_param_leaves, dtypes
+
+    assert trajs["f32"][-1] < trajs["f32"][0]  # it actually trains
+    np.testing.assert_allclose(trajs["bf16"], trajs["f32"], rtol=1e-2)
