@@ -80,10 +80,13 @@ def encode_speech(
     hidden, mask = prenets.speech_prenet(
         params["encoder"]["prenet"], cfg, input_values, attention_mask,
         deterministic=deterministic, rng=r1)
+    # boundary activation-sharding constraints (no-ops outside a sharded
+    # step's ops.act_sharding.activation_mesh context)
+    hidden = constrain_batch(hidden)
     hidden = enc.encoder(params["encoder"]["wrapped_encoder"], cfg, hidden, mask,
                          deterministic=deterministic, dropout_rng=r2,
                          remat=remat, attn_impl=attn_impl, ring=ring)
-    return hidden, mask
+    return constrain_batch(hidden), mask
 
 
 def encode_text(

@@ -193,7 +193,16 @@ def main(argv=None) -> int:
     def run_eval(params, step):
         if dev_ds is None:
             return {}
-        enc_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+        from ..ops.act_sharding import activation_mesh
+
+        # boundary activation-sharding constraints: params are train-mesh
+        # sharded, and jitted compositions under free GSPMD propagation
+        # are what ops/act_sharding.py guards against
+        def _enc(p, w, m):
+            with activation_mesh(mesh):
+                return st5.encode_speech(p, cfg, w, m)
+
+        enc_fn = jax.jit(_enc)
         dec_fn = jax.jit(lambda p, e, m: greedy_decode(
             p, cfg, e, m, max_len=args.decode_max_len))
         refs, hyps, losses, ntok = [], [], 0.0, 0

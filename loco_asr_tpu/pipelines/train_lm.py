@@ -200,9 +200,15 @@ def main(argv=None) -> int:
                 ids[r, :len(chunks[j])] = chunks[j]
             yield {"ids": ids, "lengths": lens}
 
+    from ..ops.act_sharding import activation_mesh
+
     @jax.jit
     def eval_nll(params, ids, lengths):
-        logits, _ = g.gpt2_logits(params, cfg, ids)
+        # pin boundary activation shardings: params are train-mesh
+        # sharded and free GSPMD propagation through the composed
+        # forward is exactly what act_sharding.py guards against
+        with activation_mesh(mesh):
+            logits, _ = g.gpt2_logits(params, cfg, ids)
         nll = g.token_nll(logits, ids)
         valid = (jnp.arange(nll.shape[1])[None, :] < (lengths - 1)[:, None])
         return jnp.sum(nll * valid), jnp.sum(valid)

@@ -236,3 +236,38 @@ def test_slice_groups_rejects_non_dividing_count():
         meshlib.slice_groups(jax.devices(), 3)
     groups = meshlib.slice_groups(jax.devices(), 4)
     assert len(groups) == 4
+
+
+def test_sharded_gpt2_scoring_parity_3axis(mesh8):
+    """GPT-2 composed scoring (embed -> blocks -> lm head -> NLL) under
+    the 3-axis mesh, with and without the activation_mesh constraints,
+    must match single-device scoring to f32 roundoff (companion pin to
+    test_sharded_forward_parity_3axis; train_lm's eval_nll runs this
+    shape with the constraints active)."""
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.ops.act_sharding import activation_mesh
+    from loco_asr_tpu.parallel.mesh import data_sharding
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=32, n_head=4,
+                             embd_pdrop=0.0, attn_pdrop=0.0,
+                             resid_pdrop=0.0)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 32))
+                      .astype(np.int32))
+
+    def score(p, ids):
+        logits, _ = g.gpt2_logits(p, cfg, ids)
+        return g.token_nll(logits, ids)
+
+    def score_ctx(p, ids):
+        with activation_mesh(mesh8):
+            logits, _ = g.gpt2_logits(p, cfg, ids)
+        return g.token_nll(logits, ids)
+
+    n1 = jax.device_get(jax.jit(score)(params, ids))
+    ps = partition.shard_params(params, mesh8)
+    ids_s = jax.device_put(ids, data_sharding(mesh8))
+    for fn in (score, score_ctx):
+        n2 = jax.device_get(jax.jit(fn)(ps, ids_s))
+        np.testing.assert_allclose(n2, n1, rtol=1e-4, atol=2e-6)
