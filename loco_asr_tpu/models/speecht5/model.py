@@ -127,8 +127,8 @@ def asr_forward(
                                              ring=ring)
     # Boundary activation-sharding constraints (no-ops outside a sharded
     # step's ops.act_sharding.activation_mesh context): pin the megatron
-    # batch-sharded layout between encoder, prenet, decoder, and postnet.
-    encoder_hidden = constrain_batch(encoder_hidden)
+    # batch-sharded layout between prenet, decoder, and postnet
+    # (encode_speech pins its own output).
     dec_in = prenets.text_decoder_prenet(params["decoder"]["prenet"], cfg,
                                          decoder_input_ids)
     dec_in = layers.dropout(r2, dec_in, cfg.positional_dropout, deterministic)
@@ -158,10 +158,14 @@ def asr_decode_step(
     skips re-projecting the whole encoder sequence."""
     dec_in = prenets.text_decoder_prenet(params["decoder"]["prenet"], cfg,
                                          token_ids, past_length=step)
+    # boundary activation-sharding constraints (no-ops outside a sharded
+    # context) — incremental decode is a composed program too
+    dec_in = constrain_batch(dec_in)
     hidden, new_caches = dec.decoder(
         params["decoder"]["wrapped_decoder"], cfg, dec_in, encoder_hidden,
         encoder_attention_mask=encoder_mask, kv_caches=kv_caches,
         cache_index=step, cross_caches=cross_caches)
+    hidden = constrain_batch(hidden)
     logits = prenets.text_decoder_postnet(params["text_decoder_postnet"], hidden)
     return logits[:, -1, :], new_caches
 

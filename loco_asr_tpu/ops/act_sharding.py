@@ -25,11 +25,15 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import logging
 import math
 from typing import Optional, Sequence, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+logger = logging.getLogger(__name__)
+_warned_skip = set()
 
 _ACTIVE: contextvars.ContextVar[Optional[Tuple[Mesh, Tuple[str, ...]]]] = \
     contextvars.ContextVar("loco_activation_mesh", default=None)
@@ -56,8 +60,12 @@ def activation_mesh(mesh: Mesh, batch_axes: Sequence[str] = ("data", "fsdp")):
 def constrain_batch(x: jax.Array) -> jax.Array:
     """Pin axis 0 of ``x`` to the active data axes (replicate the rest).
 
-    No-op without an active ``activation_mesh`` context, for rank-0
-    arrays, or when the batch dim is not divisible by the data axes.
+    No-op without an active ``activation_mesh`` context or for rank-0
+    arrays.  A batch dim not divisible by the data-axes width also
+    skips the pin — but that silently disables the miscompile guard,
+    so it warns (once per shape/width): size batches to a multiple of
+    the DP width (x grad_accum; parallel.train.shard_batch pads this
+    way for the trainers).
     """
     active = _ACTIVE.get()
     if active is None or getattr(x, "ndim", 0) == 0:
@@ -65,6 +73,15 @@ def constrain_batch(x: jax.Array) -> jax.Array:
     mesh, axes = active
     width = math.prod(mesh.shape[a] for a in axes)
     if x.shape[0] % width:
+        key = (x.shape[0], width)
+        if key not in _warned_skip:
+            _warned_skip.add(key)
+            logger.warning(
+                "constrain_batch: batch dim %d not divisible by data-axes "
+                "width %d — activation-sharding constraint SKIPPED for "
+                "this tensor (free GSPMD propagation; see act_sharding.py "
+                "for the miscompile class this normally guards)",
+                x.shape[0], width)
         return x
     spec = PartitionSpec(axes, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

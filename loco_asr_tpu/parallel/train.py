@@ -179,8 +179,12 @@ def _accum_value_and_grad(loss_fn, params, batch, rng, accum: int):
     # sharding each device holds a contiguous B/dp block, so a contiguous
     # split would put whole microbatches on one device and GSPMD would
     # re-shard every scan step; the strided split keeps every microbatch
-    # evenly spread.  Sum-form accumulation is permutation-invariant, so
-    # the assignment doesn't affect the result.
+    # evenly spread.  Sum-form accumulation is permutation-invariant for
+    # the dropout-FREE loss/grads; with dropout active each microbatch
+    # draws its own masks (rngs[j]), so the row->microbatch assignment
+    # picks which mask lands on which row — a different (equally valid)
+    # trajectory than the contiguous split or the monolithic step, just
+    # like any other accumulation scheme.
     micro = {k: v.reshape((mb, accum) + v.shape[1:]).swapaxes(0, 1)
              for k, v in batch.items()}
     rngs = jax.random.split(rng, accum)
@@ -271,7 +275,8 @@ def make_asr_train_step(
             params = _with_frozen_feature_encoder(params)
         if compute_dtype is not None:
             params, batch = _cast_compute(params, batch, compute_dtype)
-        with activation_mesh(mesh) if use_act_mesh else _nullcontext():
+        with (activation_mesh(mesh, batch_axes=(AXES.data, AXES.fsdp))
+              if use_act_mesh else _nullcontext()):
             loss, aux = st5.asr_loss(
                 params, cfg, batch["input_values"], batch["attention_mask"],
                 batch["labels"], deterministic=False, rng=rng, remat=remat,
@@ -338,7 +343,8 @@ def make_lm_train_step(
     def loss_fn(params, batch, rng):
         if compute_dtype is not None:
             params, batch = _cast_compute(params, batch, compute_dtype)
-        with activation_mesh(mesh) if use_act_mesh else _nullcontext():
+        with (activation_mesh(mesh, batch_axes=(AXES.data, AXES.fsdp))
+              if use_act_mesh else _nullcontext()):
             if loss_impl == "chunked":
                 hidden, _ = g.gpt2_forward(params, cfg, batch["ids"],
                                            deterministic=False,
@@ -393,9 +399,15 @@ def pad_batch(batch: Dict[str, Any], multiple: int,
     return out
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                grad_accum: int = 1) -> Dict[str, Any]:
+    """Pad the batch to a multiple of the DP width (x ``grad_accum`` so
+    the microbatch split divides evenly AND every microbatch stays a DP
+    multiple — ragged epoch-final batches train instead of crashing;
+    padded rows carry zero masks / all-pad labels and contribute zero
+    valid tokens to the sum-form loss) and place it with data sharding."""
     dp = mesh.shape[AXES.data] * mesh.shape[AXES.fsdp]
-    batch = pad_batch(batch, dp)
+    batch = pad_batch(batch, dp * max(grad_accum, 1))
     sh = data_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 

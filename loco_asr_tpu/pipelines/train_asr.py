@@ -194,17 +194,25 @@ def main(argv=None) -> int:
         if dev_ds is None:
             return {}
         from ..ops.act_sharding import activation_mesh
+        from ..parallel.mesh import AXES
 
         # boundary activation-sharding constraints: params are train-mesh
         # sharded, and jitted compositions under free GSPMD propagation
-        # are what ops/act_sharding.py guards against
+        # are what ops/act_sharding.py guards against (decode included —
+        # asr_decode_step pins its own seams under the context)
+        axes = (AXES.data, AXES.fsdp)
+
         def _enc(p, w, m):
-            with activation_mesh(mesh):
+            with activation_mesh(mesh, batch_axes=axes):
                 return st5.encode_speech(p, cfg, w, m)
 
+        def _dec(p, e, m):
+            with activation_mesh(mesh, batch_axes=axes):
+                return greedy_decode(p, cfg, e, m,
+                                     max_len=args.decode_max_len)
+
         enc_fn = jax.jit(_enc)
-        dec_fn = jax.jit(lambda p, e, m: greedy_decode(
-            p, cfg, e, m, max_len=args.decode_max_len))
+        dec_fn = jax.jit(_dec)
         refs, hyps, losses, ntok = [], [], 0.0, 0
         for bi, batch in enumerate(dev_ds.batches(
                 tokenizer, args.batch_size, max_seconds=args.max_seconds,
@@ -263,7 +271,8 @@ def main(argv=None) -> int:
             args.nan_inject_step = None
         dev_batch = train.shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()
-             if k in ("input_values", "attention_mask", "labels")}, mesh)
+             if k in ("input_values", "attention_mask", "labels")}, mesh,
+            grad_accum=args.grad_accum)
         new_params, new_opt, m = step_fn(params, opt_state, dev_batch, sub)
         if args.nan_recovery and not np.isfinite(float(m["loss"])):
             # failure detection (SURVEY §5): roll back and skip the batch

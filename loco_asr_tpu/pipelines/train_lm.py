@@ -201,13 +201,14 @@ def main(argv=None) -> int:
             yield {"ids": ids, "lengths": lens}
 
     from ..ops.act_sharding import activation_mesh
+    from ..parallel.mesh import AXES
 
     @jax.jit
     def eval_nll(params, ids, lengths):
         # pin boundary activation shardings: params are train-mesh
         # sharded and free GSPMD propagation through the composed
         # forward is exactly what act_sharding.py guards against
-        with activation_mesh(mesh):
+        with activation_mesh(mesh, batch_axes=(AXES.data, AXES.fsdp)):
             logits, _ = g.gpt2_logits(params, cfg, ids)
         nll = g.token_nll(logits, ids)
         valid = (jnp.arange(nll.shape[1])[None, :] < (lengths - 1)[:, None])
@@ -256,7 +257,8 @@ def main(argv=None) -> int:
             params = jax.tree_util.tree_map(lambda x: x * jnp.nan, params)
             args.nan_inject_step = None
         dev_batch = train.shard_batch(
-            {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            {k: jnp.asarray(v) for k, v in batch.items()}, mesh,
+            grad_accum=args.grad_accum)
         new_params, new_opt, m = step_fn(params, opt_state, dev_batch, sub)
         if args.nan_recovery and not np.isfinite(float(m["loss"])):
             # failure detection (SURVEY §5): roll back and skip the batch

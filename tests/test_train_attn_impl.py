@@ -490,3 +490,38 @@ def test_adamw_mu_dtype_bf16():
 
     assert trajs["f32"][-1] < trajs["f32"][0]  # it actually trains
     np.testing.assert_allclose(trajs["bf16"], trajs["f32"], rtol=1e-2)
+
+
+def test_grad_accum_ragged_batch_pads_and_matches():
+    """An epoch-final ragged batch (3 rows, grad_accum=2) must train
+    instead of crashing: shard_batch pads to a dp*accum multiple, padded
+    rows carry zero valid tokens, and the sum-form token-mean loss and
+    updates equal the unpadded monolithic step exactly."""
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(n_positions=32, n_embd=16, n_head=2,
+                             embd_pdrop=0.0, attn_pdrop=0.0,
+                             resid_pdrop=0.0)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch3 = {"ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (3, 32))),
+              "lengths": jnp.asarray([32, 20, 16], jnp.int32)}
+    tx = optax.sgd(1e-2)
+    mesh = meshlib.make_mesh(data=1)
+
+    step1 = train.make_lm_train_step(cfg, mesh, tx, donate=False)
+    p1, _, m1 = step1(params, tx.init(params), batch3, jax.random.PRNGKey(1))
+
+    padded = train.shard_batch(batch3, mesh, grad_accum=2)
+    assert padded["ids"].shape[0] == 4  # next multiple of dp(1)*accum(2)
+    step2 = train.make_lm_train_step(cfg, mesh, tx, donate=False,
+                                     grad_accum=2)
+    p2, _, m2 = step2(params, tx.init(params), padded, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m2["ntokens"]), float(m1["ntokens"]))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
