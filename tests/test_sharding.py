@@ -271,3 +271,39 @@ def test_sharded_gpt2_scoring_parity_3axis(mesh8):
     for fn in (score, score_ctx):
         n2 = jax.device_get(jax.jit(fn)(ps, ids_s))
         np.testing.assert_allclose(n2, n1, rtol=1e-4, atol=2e-6)
+
+
+def test_sharded_greedy_decode_parity_3axis(mesh8):
+    """Greedy decode (incremental KV steps, while_loop) with params
+    sharded over the 3-axis mesh must produce token-identical hypotheses
+    to the single-device decode — pins decode-under-TP/FSDP, which no
+    pipeline exercises beyond DP, with the asr_decode_step boundary
+    constraints active (train_asr dev-eval runs this composition)."""
+    from loco_asr_tpu.decode.beam import greedy_decode
+    from loco_asr_tpu.ops.act_sharding import activation_mesh
+    from loco_asr_tpu.parallel.mesh import data_sharding
+
+    cfg = _no_dropout_cfg()
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = st5.asr_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    enc = jnp.asarray(
+        rng.standard_normal((8, 7, cfg.hidden_size)).astype(np.float32))
+    msk = jnp.ones((8, 7), jnp.int32)
+
+    toks1, lens1 = jax.jit(lambda p, e, m: greedy_decode(
+        p, cfg, e, m, max_len=8))(params, enc, msk)
+
+    ps = partition.shard_params(params, mesh8)
+    sh = data_sharding(mesh8)
+
+    def dec(p, e, m):
+        with activation_mesh(mesh8):
+            return greedy_decode(p, cfg, e, m, max_len=8)
+
+    toks2, lens2 = jax.jit(dec)(ps, jax.device_put(enc, sh),
+                                jax.device_put(msk, sh))
+    np.testing.assert_array_equal(np.asarray(jax.device_get(toks2)),
+                                  np.asarray(jax.device_get(toks1)))
+    np.testing.assert_array_equal(np.asarray(jax.device_get(lens2)),
+                                  np.asarray(jax.device_get(lens1)))
