@@ -81,7 +81,8 @@ def bench_ppl(bsize: int, max_len: int, model: str, attn_impl: str = "dense",
 
 def bench_train(batch: int, seconds: float, label_len: int,
                 remat="none", bf16: bool = False, mp: bool = False,
-                freeze: bool = False, rng_impl: str = "threefry"):
+                freeze: bool = False, rng_impl: str = "threefry",
+                attn_impl: str = "dense"):
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +103,7 @@ def bench_train(batch: int, seconds: float, label_len: int,
     opt_state = tx.init(params)
     step_fn = train.make_asr_train_step(
         cfg, mesh, tx, donate=False, remat=remat,
-        freeze_feature_encoder=freeze,
+        freeze_feature_encoder=freeze, attn_impl=attn_impl,
         compute_dtype=jnp.bfloat16 if mp else None)
 
     rng = np.random.default_rng(0)
@@ -147,7 +148,8 @@ def bench_train(batch: int, seconds: float, label_len: int,
         [f" remat={remat}" if remat not in (False, None, "none") else "",
          " bf16" if bf16 else "", " mp" if mp else "",
          " freeze" if freeze else "",
-         f" rng={rng_impl}" if rng_impl != "threefry" else ""])
+         f" rng={rng_impl}" if rng_impl != "threefry" else "",
+         f" attn={attn_impl}" if attn_impl != "dense" else ""])
     print(f"train_asr [B{batch}x{seconds:.0f}s, labels {label_len}{tag}]: "
           f"{per*1e3:.1f} ms/step ({1.0/per:.1f} steps/s, "
           f"{batch*seconds/per:,.0f} audio-s/s, ~{mfu:.0f}% MFU)")
@@ -518,6 +520,11 @@ def main(argv=None):
     p.add_argument("--train_freeze", action="store_true",
                    help="freeze the conv feature extractor (HF "
                         "fine-tuning convention; skips its backward)")
+    p.add_argument("--train_attn_impl", choices=["dense", "flash"],
+                   default="dense",
+                   help="encoder self-attention in the short-T train row "
+                        "(flash skips the saved [B,H,T,T] probs in the "
+                        "backward — HBM relief, see BENCH.md)")
     p.add_argument("--decode_seconds", type=float, default=60.0)
     p.add_argument("--decode_len", type=int, default=200)
     p.add_argument("--rng_impl", default="threefry",
@@ -540,7 +547,8 @@ def main(argv=None):
         bench_train(args.train_batch, args.train_seconds, args.train_label_len,
                     remat=args.train_remat, bf16=args.train_bf16,
                     mp=args.train_mp,
-                    freeze=args.train_freeze, rng_impl=args.rng_impl)
+                    freeze=args.train_freeze, rng_impl=args.rng_impl,
+                    attn_impl=args.train_attn_impl)
     if args.only in (None, "decode"):
         bench_decode(args.decode_seconds, args.decode_len)
     if args.only == "cont":
