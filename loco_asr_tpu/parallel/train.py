@@ -54,6 +54,34 @@ def adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01,
     return tx
 
 
+def adafactor(learning_rate: float = 1e-3, weight_decay: float = 0.01,
+              warmup_steps: int = 0, total_steps: Optional[int] = None,
+              clip_norm: Optional[float] = None) -> optax.GradientTransformation:
+    """Adafactor (Shazeer & Stern 2018): row/column-factored second
+    moments, no first moment — optimizer state for an ``[a, b]`` matrix
+    is ``a + b`` floats instead of AdamW's ``2*a*b``.  For gpt2-xl
+    (1.5B params) that collapses 12.3 GB of f32 Adam state to ~6 MB,
+    which is what fits the model on ONE 16 GB v5e chip together with
+    buffer donation (docs/BENCH.md gpt2-xl row).
+
+    ``multiply_by_parameter_scale=False`` so ``learning_rate`` has the
+    same meaning as for :func:`adamw` (absolute, not relative) and the
+    warmup-cosine schedule composes identically."""
+    if warmup_steps or total_steps:
+        total = total_steps or warmup_steps * 10
+        warmup = min(warmup_steps, max(total - 1, 0))
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup, total)
+    else:
+        sched = learning_rate
+    tx = optax.adafactor(
+        learning_rate=sched, multiply_by_parameter_scale=False,
+        momentum=None, weight_decay_rate=weight_decay or None)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
+
+
 def reference_adam(learning_rate: float = 1e-3, weight_decay: float = 1e-4):
     """torch Adam(lr, weight_decay) parity: L2 added to grads before the
     moment updates (train_classifier.py:68)."""

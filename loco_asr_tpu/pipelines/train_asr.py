@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--grad_clip", type=float, default=None,
                    help="global-norm gradient clipping threshold")
+    p.add_argument("--optimizer", choices=["adamw", "adafactor"],
+                   default="adamw",
+                   help="'adafactor' stores row/column-factored second "
+                        "moments (~zero optimizer HBM; docs/BENCH.md)")
     p.add_argument("--opt_mu_dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="dtype of Adam's first moment (bfloat16 halves "
@@ -140,10 +144,14 @@ def main(argv=None) -> int:
         from ..utils.pytree import cast_floating
         params = cast_floating(params, jnp.bfloat16)
     params = partition.shard_params(params, mesh)
-    tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps,
-                     args.steps, clip_norm=args.grad_clip,
-                     mu_dtype=(jnp.bfloat16
-                               if args.opt_mu_dtype == "bfloat16" else None))
+    if args.optimizer == "adafactor":
+        tx = train.adafactor(args.lr, args.weight_decay, args.warmup_steps,
+                             args.steps, clip_norm=args.grad_clip)
+    else:
+        tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps,
+                         args.steps, clip_norm=args.grad_clip,
+                         mu_dtype=(jnp.bfloat16
+                                   if args.opt_mu_dtype == "bfloat16" else None))
     opt_state = tx.init(params)
     ring = None
     if args.attn_impl in ("ring", "ulysses"):
@@ -152,8 +160,11 @@ def main(argv=None) -> int:
         n_sp = args.sp_devices or len(jax.devices())
         sp_mesh = JMesh(np.asarray(jax.devices()[:n_sp]), ("sequence",))
         ring = (sp_mesh, "sequence")
+    # donate=True: in-place param/opt-state update (out_shardings pinned
+    # = aliasing legal); nan_recovery's rollback restores from the
+    # host-side init snapshot, never the donated pre-step buffers
     step_fn = train.make_asr_train_step(
-        cfg, mesh, tx, donate=False, remat=args.remat,
+        cfg, mesh, tx, donate=True, remat=args.remat,
         attn_impl=args.attn_impl, ring=ring,
         freeze_feature_encoder=args.freeze_feature_encoder,
         compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
@@ -279,8 +290,10 @@ def main(argv=None) -> int:
             print(f"step {step+1}: non-finite loss; rolling back",
                   file=sys.stderr)
             metrics.log(step=step + 1, event="nan_rollback")
-            target = {"params": jax.device_get(params),
-                      "opt_state": jax.device_get(opt_state),
+            # restore target built from the HOST-side init snapshot: the
+            # live params/opt_state buffers were donated to the step
+            target = {"params": init_snap[0],
+                      "opt_state": init_snap[1],
                       "step": np.asarray(0)}
             restored = ckpt.restore(target=target)
             if restored is not None:

@@ -76,6 +76,11 @@ def parse_args(argv=None):
                         "through the cast VJP)")
     p.add_argument("--grad_clip", type=float, default=None,
                    help="global-norm gradient clipping threshold")
+    p.add_argument("--optimizer", choices=["adamw", "adafactor"],
+                   default="adamw",
+                   help="'adafactor' stores row/column-factored second "
+                        "moments (~zero optimizer HBM) — required for "
+                        "gpt2-xl on one 16 GB chip (docs/BENCH.md)")
     p.add_argument("--opt_mu_dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="dtype of Adam's first moment (bfloat16 halves "
@@ -145,10 +150,14 @@ def main(argv=None) -> int:
     mesh = meshlib.make_mesh(*dims)
     params = load_gpt2_params(args.checkpoint, cfg)
     params = partition.shard_params(params, mesh)
-    tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps,
-                     args.steps, clip_norm=args.grad_clip,
-                     mu_dtype=(jnp.bfloat16
-                               if args.opt_mu_dtype == "bfloat16" else None))
+    if args.optimizer == "adafactor":
+        tx = train.adafactor(args.lr, args.weight_decay, args.warmup_steps,
+                             args.steps, clip_norm=args.grad_clip)
+    else:
+        tx = train.adamw(args.lr, args.weight_decay, args.warmup_steps,
+                         args.steps, clip_norm=args.grad_clip,
+                         mu_dtype=(jnp.bfloat16
+                                   if args.opt_mu_dtype == "bfloat16" else None))
     opt_state = tx.init(params)
     ring = None
     if args.attn_impl in ("ring", "ulysses"):
@@ -157,8 +166,14 @@ def main(argv=None) -> int:
         n_sp = args.sp_devices or len(jax.devices())
         sp_mesh = JMesh(np.asarray(jax.devices()[:n_sp]), ("sequence",))
         ring = (sp_mesh, "sequence")
+    # donate=True: XLA updates params/opt-state in place (the step's
+    # out_shardings are pinned to its in_shardings, so aliasing is legal)
+    # — halves the train loop's peak parameter HBM, which is what lets
+    # gpt2-xl fit on one chip.  The nan_recovery rollback below never
+    # touches the (donated-away) pre-step buffers: its restore target is
+    # the host-side init snapshot.
     step_fn = train.make_lm_train_step(
-        cfg, mesh, tx, donate=False, attn_impl=args.attn_impl, ring=ring,
+        cfg, mesh, tx, donate=True, attn_impl=args.attn_impl, ring=ring,
         remat=args.remat,
         compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
                        else None),
@@ -265,8 +280,10 @@ def main(argv=None) -> int:
             print(f"step {step+1}: non-finite loss; rolling back",
                   file=sys.stderr)
             metrics.log(step=step + 1, event="nan_rollback")
-            target = {"params": jax.device_get(params),
-                      "opt_state": jax.device_get(opt_state),
+            # restore target built from the HOST-side init snapshot: the
+            # live params/opt_state buffers were donated to the step
+            target = {"params": init_snap[0],
+                      "opt_state": init_snap[1],
                       "step": np.asarray(0)}
             restored = ckpt.restore(target=target)
             if restored is not None:

@@ -76,6 +76,66 @@ def device_time_per_iter(fn: Callable, *args, iters: int = 20,
     return max((d_hi - d_lo) / iters, 1e-9)
 
 
+def device_time_per_iter_state(step_fn: Callable, params, opt_state, batch,
+                               rng, iters: int = 8,
+                               warmup_iters: int = 2) -> float:
+    """Chained-loop timing for ``step_fn(params, opt_state, batch, rng)
+    -> (new_params, new_opt_state, metrics)`` where the fori_loop CARRIES
+    the full (params, opt_state) through iterations.
+
+    Two differences vs :func:`device_time_per_iter` that matter for
+    models near the HBM ceiling (gpt2-xl class):
+
+    * the loop carry lets XLA alias each iteration's param/opt buffers in
+      place, so peak memory matches the donated training loop instead of
+      holding pre- and post-step copies simultaneously;
+    * the jitted runner donates its (params, opt_state) arguments and
+      RETURNS the evolved state, which the caller feeds into the next
+      timing call — at no point do two full copies of the state exist.
+
+    Honesty guards: metrics["loss"] + metrics["grad_norm"] feed the
+    scalar carry (grad_norm touches every gradient leaf), every updated
+    leaf of the FINAL params is summed into the returned scalar (the
+    in-loop iterations consume each other's params by construction; only
+    the last iteration's update is DCE-able, and the final sum pins it),
+    and a fresh ``salt`` argument per execution defeats the relay's
+    result cache (same rationale as device_time_per_iter).
+
+    Returns ``(seconds_per_iter, final_params, final_opt_state)`` — the
+    caller's original params/opt_state buffers are donated away.
+    """
+
+    def chained(n):
+        def run(salt, p, o, b, key):
+            def body(i, carry):
+                p, o, s = carry
+                np_, no_, m = step_fn(p, o, b, jax.random.fold_in(key, i))
+                return (np_, no_,
+                        (m["loss"] + m["grad_norm"]).astype(jnp.float32))
+            p, o, s = jax.lax.fori_loop(
+                0, n, body, (p, o, salt * jnp.float32(1e-9)))
+            tot = sum(jnp.sum(x).astype(jnp.float32)
+                      for x in jax.tree_util.tree_leaves(p)
+                      if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
+            return p, o, s + tot * jnp.float32(1e-20)
+        return jax.jit(run, donate_argnums=(1, 2))
+
+    lo, hi = chained(warmup_iters), chained(warmup_iters + iters)
+    params, opt_state, s = lo(jnp.float32(1.0), params, opt_state, batch, rng)
+    float(s)
+    params, opt_state, s = hi(jnp.float32(2.0), params, opt_state, batch, rng)
+    float(s)
+    t0 = time.perf_counter()
+    params, opt_state, s = lo(jnp.float32(3.0), params, opt_state, batch, rng)
+    float(s)
+    d_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    params, opt_state, s = hi(jnp.float32(4.0), params, opt_state, batch, rng)
+    float(s)
+    d_hi = time.perf_counter() - t0
+    return max((d_hi - d_lo) / iters, 1e-9), params, opt_state
+
+
 class StepTimer:
     """Rolling steps/sec + items/sec meter."""
 

@@ -217,7 +217,8 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
 def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
                    mp: bool = False, rng_impl: str = "threefry",
                    loss_impl: str = "chunked", attn_impl: str = "dense",
-                   remat="none", accum: int = 1, mu_bf16: bool = False):
+                   remat="none", accum: int = 1, mu_bf16: bool = False,
+                   opt: str = "adamw", state_timer: bool = False):
     """Full-size GPT-2 LM train step (fwd+bwd+AdamW) on [bsize, seq_len]
     token windows — the training half of the reference's lms/ subproject
     (eval_ppl covers scoring; this row covers train_lm throughput)."""
@@ -232,8 +233,11 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
     cfg = g.PRESETS[model]
     mesh = meshlib.make_mesh(-1, 1, 1)
     params = partition.shard_params(load_gpt2_params(None, cfg), mesh)
-    tx = train.adamw(3e-4, 0.01, 10, 1000,
-                     mu_dtype=jnp.bfloat16 if mu_bf16 else None)
+    if opt == "adafactor":
+        tx = train.adafactor(3e-4, 0.01, 10, 1000)
+    else:
+        tx = train.adamw(3e-4, 0.01, 10, 1000,
+                         mu_dtype=jnp.bfloat16 if mu_bf16 else None)
     opt_state = tx.init(params)
     step_fn = train.make_lm_train_step(
         cfg, mesh, tx, donate=False,
@@ -248,14 +252,24 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
         "lengths": jnp.full((bsize,), seq_len, jnp.int32),
     }, mesh)
 
-    def step(p, opt, b, r):
-        new_p, new_opt, m = step_fn(p, opt, b, r)
-        # consume every updated leaf (DCE guard — see bench_train)
-        tot = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_p))
-        return m["loss"] + m["grad_norm"] + tot * 1e-20
+    if state_timer:
+        # carry (params, opt_state) through the timing loop so XLA
+        # aliases the state in place — required for gpt2-xl, where the
+        # default timer's pre+post param copies alone exceed HBM
+        # (utils/profiling.device_time_per_iter_state docstring)
+        from loco_asr_tpu.utils.profiling import device_time_per_iter_state
+        per, params, opt_state = device_time_per_iter_state(
+            step_fn, params, opt_state, batch_d, jax.random.PRNGKey(0),
+            iters=4)
+    else:
+        def step(p, opt, b, r):
+            new_p, new_opt, m = step_fn(p, opt, b, r)
+            # consume every updated leaf (DCE guard — see bench_train)
+            tot = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_p))
+            return m["loss"] + m["grad_norm"] + tot * 1e-20
 
-    per = device_time_per_iter(step, params, opt_state, batch_d,
-                               jax.random.PRNGKey(0), iters=6)
+        per = device_time_per_iter(step, params, opt_state, batch_d,
+                                   jax.random.PRNGKey(0), iters=6)
     # analytic fwd FLOPs: per token, 12 blocks x (qkvo 4h^2 + ffn 8h^2)
     # matmuls + attention 2*T*h (x2 for q.k and p.v) + lm head h*V
     h, L, V = cfg.n_embd, cfg.n_layer, cfg.vocab_size
@@ -274,6 +288,7 @@ def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
           f"{f' remat={remat}' if remat not in (False, None, 'none') else ''}"
           f"{f' accum={accum}' if accum > 1 else ''}"
           f"{' mu=bf16' if mu_bf16 else ''}"
+          f"{f' opt={opt}' if opt != 'adamw' else ''}"
           f"{f' rng={rng_impl}' if rng_impl != 'threefry' else ''}]: "
           f"{per*1e3:.1f} ms/step ({toks:,.0f} tok/s, ~{mfu:.0f}% MFU)")
     WWW.update(rows)
@@ -509,6 +524,15 @@ def main(argv=None):
                         "master params + Adam (train step compute_dtype)")
     p.add_argument("--train_accum", type=int, default=1,
                    help="grad-accumulation microbatches for the trainlm row")
+    p.add_argument("--train_opt", choices=["adamw", "adafactor"],
+                   default="adamw",
+                   help="optimizer for the trainlm row ('adafactor': "
+                        "factored second moments, ~zero optimizer HBM "
+                        "— the gpt2-xl one-chip configuration)")
+    p.add_argument("--train_state_timer", action="store_true",
+                   help="time the trainlm row with the state-carrying "
+                        "chained loop (in-place param aliasing; required "
+                        "for gpt2-xl)")
     p.add_argument("--train_mu_bf16", action="store_true",
                    help="store Adam's first moment in bf16 "
                         "(train.adamw mu_dtype; halves mu HBM)")
@@ -562,7 +586,9 @@ def main(argv=None):
                        mp=args.train_mp, rng_impl=args.rng_impl,
                        loss_impl=args.train_loss_impl,
                        attn_impl=args.ppl_attn_impl, remat=args.train_remat,
-                       accum=args.train_accum, mu_bf16=args.train_mu_bf16)
+                       accum=args.train_accum, mu_bf16=args.train_mu_bf16,
+                       opt=args.train_opt,
+                       state_timer=args.train_state_timer)
     if args.only == "conv":
         bench_conversations(8, 4, 8, 200)
     if args.json:

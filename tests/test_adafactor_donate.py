@@ -1,0 +1,129 @@
+"""Adafactor optimizer + donated (in-place) train-step state.
+
+The reference trains nothing larger than its classifier head (torch Adam,
+train_classifier.py); our trainers scale to the full GPT-2 family, where
+optimizer HBM decides what fits on a chip.  Adafactor (factored second
+moments) + buffer donation is the gpt2-xl one-chip configuration
+(docs/BENCH.md) — these tests pin:
+
+* the factored state really is ~zero HBM next to AdamW's 2x params;
+* the training step still learns under adafactor;
+* `--optimizer adafactor` works end-to-end in train_lm;
+* the state-carrying chained timer (utils/profiling) evolves and returns
+  the donated state correctly.
+"""
+
+import numpy as np
+import pytest
+
+
+def _state_bytes(tree):
+    import jax
+
+    return sum(np.asarray(l).nbytes for l in jax.tree_util.tree_leaves(tree)
+               if hasattr(l, "nbytes") or isinstance(l, (np.ndarray,)))
+
+
+def test_adafactor_state_is_factored():
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.parallel import train
+
+    params = {"w": jnp.zeros((512, 256)), "b": jnp.zeros((256,))}
+    ada = train.adafactor(1e-3).init(params)
+    adam = train.adamw(1e-3).init(params)
+    ada_b = sum(x.nbytes for x in jax.tree_util.tree_leaves(ada))
+    adam_b = sum(x.nbytes for x in jax.tree_util.tree_leaves(adam))
+    # factored: [512,256] costs 512+256 floats (+ the bias vector), vs
+    # AdamW's 2 * (512*256 + 256)
+    assert ada_b < adam_b / 20
+
+
+def test_adafactor_lm_step_learns():
+    """A few adafactor steps on a tiny LM reduce the loss (sanity that the
+    schedule + weight decay wiring matches the adamw helper's contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.parallel import mesh as meshlib, train
+
+    cfg = g.tiny_gpt2_config(vocab_size=64, n_positions=32, n_embd=32,
+                             n_head=4)
+    mesh = meshlib.make_mesh(1, 1, 1)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    tx = train.adafactor(1e-2, weight_decay=0.0, warmup_steps=2,
+                         total_steps=50)
+    opt_state = tx.init(params)
+    step = train.make_lm_train_step(cfg, mesh, tx, donate=False)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 64, (4, 32)).astype(np.int32))
+    batch = {"ids": ids, "lengths": jnp.full((4,), 32, jnp.int32)}
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_state_timer_evolves_and_returns_state():
+    """device_time_per_iter_state: donated state comes back evolved and
+    finite, and the measured per-iteration time is positive."""
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.parallel import mesh as meshlib, train
+    from loco_asr_tpu.utils.profiling import device_time_per_iter_state
+
+    cfg = g.tiny_gpt2_config(vocab_size=64, n_positions=16, n_embd=16,
+                             n_head=2)
+    mesh = meshlib.make_mesh(1, 1, 1)
+    params = g.gpt2_init(jax.random.PRNGKey(0), cfg)
+    tx = train.adafactor(1e-2)
+    opt_state = tx.init(params)
+    step = train.make_lm_train_step(cfg, mesh, tx, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {"ids": jnp.asarray(rng.integers(0, 64, (2, 16)).astype(np.int32)),
+             "lengths": jnp.full((2,), 16, jnp.int32)}
+    before = np.asarray(params["wte"]["weight"]).copy()
+    per, params, opt_state = device_time_per_iter_state(
+        step, params, opt_state, batch, jax.random.PRNGKey(1),
+        iters=2, warmup_iters=1)
+    assert per > 0
+    after = np.asarray(params["wte"]["weight"])
+    assert np.isfinite(after).all()
+    # 2*(1 + 3) + 2*... the four chained calls ran (1+3)+(1+3)... at least
+    # one optimizer step happened: weights moved
+    assert not np.allclose(before, after)
+
+
+@pytest.mark.slow
+def test_train_lm_adafactor_cli(tmp_path, monkeypatch):
+    """`train_lm --optimizer adafactor` end-to-end (donated step + the
+    adafactor state surviving checkpoint save/restore round-trip)."""
+    import jax
+
+    from loco_asr_tpu.pipelines import train_lm
+    from loco_asr_tpu.utils.checkpoint import Checkpointer
+
+    monkeypatch.chdir(tmp_path)
+    text = tmp_path / "train.txt"
+    text.write_text(
+        "rec1-A-000000-000100 hello there friend\n"
+        "rec1-A-000100-000200 how are you today\n")
+    rc = train_lm.main([
+        "--train_file", str(text), "--out_dir", "exp/ada",
+        "--model", "tiny", "--seq_len", "16", "--batch_size", "2",
+        "--steps", "3", "--save_every", "3", "--eval_every", "100",
+        "--log_every", "1", "--warmup_steps", "1", "--mesh", "1,1,1",
+        "--optimizer", "adafactor"])
+    assert rc == 0
+    state = Checkpointer("exp/ada/ckpt").restore()
+    assert int(state["step"]) == 3
+    for leaf in jax.tree_util.tree_leaves(state["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
