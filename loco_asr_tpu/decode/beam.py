@@ -113,12 +113,21 @@ def beam_search(
     fusion: Optional[FusionLM] = None,
     lm_cache: Optional[Dict] = None, lm_start: Optional[jnp.ndarray] = None,
     lm_mask: Optional[jnp.ndarray] = None,
-) -> BeamHypotheses:
+    return_lm_cache: bool = False,
+):
     """Batched beam search, fully on device.
 
     Finished beams are frozen (forced pad emission at zero added score);
     final ranking applies the GNMT length penalty.  With ``fusion``, token
     scores are log p_asr + weight * log p_lm.
+
+    Conversation carry-over (decode/context.py): pass a primed, beam-flat
+    ``lm_cache`` ([B*K, ...]; tile the per-stream cache over K) with
+    per-stream ``lm_start`` ([B] is tiled to [B*K] automatically) and set
+    ``return_lm_cache=True`` — the second return value is the final LM
+    cache with rows reordered to the HYPOTHESIS order (row i*K+j = ranked
+    hypothesis j of stream i), so row i*K+0 is the best hypothesis'
+    carried LM state.
     """
     b, k, v = encoder_hidden.shape[0], beam_size, cfg.vocab_size
     enc = _tile_beam(encoder_hidden, k)            # [B*K, T, H]
@@ -128,6 +137,9 @@ def beam_search(
     if fusion is not None and lm_cache is None:
         lm_cache = fusion.init_cache(b * k, max_len + 1)
         lm_start = jnp.zeros((), jnp.int32)
+    if lm_start is not None and getattr(lm_start, "ndim", 0) == 1 \
+            and lm_start.shape[0] == b:
+        lm_start = jnp.repeat(lm_start, k)         # [B] -> [B*K]
     lm_mask_k = _tile_beam(lm_mask, k) if lm_mask is not None else None
 
     # freeze mask for finished rows: pad gets 0, everything else -inf

@@ -54,6 +54,32 @@ def adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01,
     return tx
 
 
+def _decoupled_decay(weight_decay: float, sched) -> optax.GradientTransformation:
+    """Schedule-scaled decoupled weight decay, chained AFTER an optimizer
+    whose updates already carry the -lr sign: adds ``-lr_t * wd * p`` so
+    decay tracks the (scheduled) learning rate exactly like optax.adamw's
+    (which applies add_decayed_weights BEFORE scale_by_learning_rate).
+
+    optax.adafactor's own ``weight_decay_rate`` is applied after its lr
+    scaling — a RAW per-step shrink factor independent of lr/schedule
+    (0.01/step decays weights by ~2e-44 over a 10k-step run), so it must
+    stay None and this transform supplies the adamw-equivalent decay."""
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("decoupled weight decay requires params")
+        lr = sched(state.count) if callable(sched) else sched
+        updates = jax.tree_util.tree_map(
+            lambda u, p: u - (lr * weight_decay * p).astype(u.dtype),
+            updates, params)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def adafactor(learning_rate: float = 1e-3, weight_decay: float = 0.01,
               warmup_steps: int = 0, total_steps: Optional[int] = None,
               clip_norm: Optional[float] = None) -> optax.GradientTransformation:
@@ -66,7 +92,11 @@ def adafactor(learning_rate: float = 1e-3, weight_decay: float = 0.01,
 
     ``multiply_by_parameter_scale=False`` so ``learning_rate`` has the
     same meaning as for :func:`adamw` (absolute, not relative) and the
-    warmup-cosine schedule composes identically."""
+    warmup-cosine schedule composes identically.  Weight decay is applied
+    as adamw-equivalent decoupled decay (``-lr_t * wd * p``, see
+    :func:`_decoupled_decay`) — optax.adafactor's built-in
+    ``weight_decay_rate`` is deliberately NOT used (it is lr-independent
+    and silently destroys long runs at adamw-style wd values)."""
     if warmup_steps or total_steps:
         total = total_steps or warmup_steps * 10
         warmup = min(warmup_steps, max(total - 1, 0))
@@ -76,7 +106,9 @@ def adafactor(learning_rate: float = 1e-3, weight_decay: float = 0.01,
         sched = learning_rate
     tx = optax.adafactor(
         learning_rate=sched, multiply_by_parameter_scale=False,
-        momentum=None, weight_decay_rate=weight_decay or None)
+        momentum=None, weight_decay_rate=None)
+    if weight_decay:
+        tx = optax.chain(tx, _decoupled_decay(weight_decay, sched))
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx
@@ -285,8 +317,15 @@ def make_asr_train_step(
     (see _cast_compute) — master params/optimizer stay f32.
     """
     import dataclasses
+    import warnings
 
     if attn_impl != "dense" and cfg.attention_dropout > 0.0:
+        warnings.warn(
+            f"attn_impl={attn_impl!r} carries no attention-prob dropout: "
+            f"attention_dropout={cfg.attention_dropout} is zeroed for this "
+            "run (all other dropout rates keep their configured values). "
+            "Use attn_impl='dense' if attention dropout must be active.",
+            UserWarning, stacklevel=2)
         cfg = dataclasses.replace(cfg, attention_dropout=0.0)
 
     # boundary activation-sharding constraints (models call
@@ -356,10 +395,17 @@ def make_lm_train_step(
     bwd; 'dense' materializes logits (the naive form, kept for parity
     tests)."""
     import dataclasses
+    import warnings
 
     from ..models.gpt2 import model as g
 
     if attn_impl != "dense" and cfg.attn_pdrop > 0.0:
+        warnings.warn(
+            f"attn_impl={attn_impl!r} carries no attention-prob dropout: "
+            f"attn_pdrop={cfg.attn_pdrop} is zeroed for this run (all "
+            "other dropout rates keep their configured values). Use "
+            "attn_impl='dense' if attention dropout must be active.",
+            UserWarning, stacklevel=2)
         cfg = dataclasses.replace(cfg, attn_pdrop=0.0)
     if loss_impl not in ("dense", "chunked"):
         raise ValueError(f"loss_impl must be 'dense' or 'chunked', "

@@ -48,7 +48,21 @@ def parse_args(argv=None):
     p.add_argument("--eval_every", type=int, default=1000)
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--max_seconds", type=float, default=20.0)
-    p.add_argument("--max_label_len", type=int, default=128)
+    p.add_argument("--max_label_len", type=int, default=None,
+                   help="label token cap (default 128 per-utterance; "
+                        "~16 tokens/s of window audio in conversation "
+                        "mode)")
+    p.add_argument("--conversation_seconds", type=float, default=0.0,
+                   help="train on CONVERSATION WINDOWS of up to this many "
+                        "seconds instead of single utterances: per "
+                        "recording+channel, chronological utterances are "
+                        "concatenated (audio via segments cropping, "
+                        "transcripts with separator tokens) into "
+                        "utterance-boundary-aligned windows — the ASR "
+                        "twin of the LM conversation stream (reference "
+                        "lms/src/utils.py:108-139).  Combine with "
+                        "--attn_impl flash --remat lite at 100s+ windows "
+                        "(dense attention OOMs, docs/BENCH.md)")
     p.add_argument("--mesh", default="-1,1,1",
                    help="data,fsdp,tensor mesh shape (-1 absorbs)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
@@ -187,9 +201,28 @@ def main(argv=None) -> int:
             start_step = int(restored["step"])
             print(f"resumed at step {start_step}", file=sys.stderr)
 
-    train_ds = KaldiAsrDataset(args.train_dir)
-    dev_ds = KaldiAsrDataset(args.dev_dir) if args.dev_dir else None
-    print(f"train utts: {len(train_ds)}", file=sys.stderr)
+    conv = args.conversation_seconds > 0
+    if conv:
+        from ..data.asr_dataset import ConversationAsrDataset
+
+        # window audio replaces the per-utterance cap; labels scale with
+        # the window (~16 tokens/s of speech for the char tokenizer)
+        args.max_seconds = args.conversation_seconds
+        if args.max_label_len is None:
+            args.max_label_len = max(128, int(16 * args.conversation_seconds))
+        train_ds = ConversationAsrDataset(
+            args.train_dir, window_seconds=args.conversation_seconds)
+        dev_ds = (ConversationAsrDataset(
+            args.dev_dir, window_seconds=args.conversation_seconds)
+            if args.dev_dir else None)
+        print(f"conversation windows: {len(train_ds)} "
+              f"(<= {args.conversation_seconds:.0f}s each)", file=sys.stderr)
+    else:
+        if args.max_label_len is None:
+            args.max_label_len = 128
+        train_ds = KaldiAsrDataset(args.train_dir)
+        dev_ds = KaldiAsrDataset(args.dev_dir) if args.dev_dir else None
+        print(f"train utts: {len(train_ds)}", file=sys.stderr)
 
     bos, eos = cfg.bos_token_id, cfg.eos_token_id
 

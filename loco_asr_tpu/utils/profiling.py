@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +78,7 @@ def device_time_per_iter(fn: Callable, *args, iters: int = 20,
 
 def device_time_per_iter_state(step_fn: Callable, params, opt_state, batch,
                                rng, iters: int = 8,
-                               warmup_iters: int = 2) -> float:
+                               warmup_iters: int = 2) -> Tuple[float, Any, Any]:
     """Chained-loop timing for ``step_fn(params, opt_state, batch, rng)
     -> (new_params, new_opt_state, metrics)`` where the fori_loop CARRIES
     the full (params, opt_state) through iterations.
@@ -110,8 +110,12 @@ def device_time_per_iter_state(step_fn: Callable, params, opt_state, batch,
             def body(i, carry):
                 p, o, s = carry
                 np_, no_, m = step_fn(p, o, b, jax.random.fold_in(key, i))
+                # s (seeded from salt) mixes into the return so the jit
+                # output genuinely depends on the per-call salt — the
+                # relay result-cache defeat the docstring promises
                 return (np_, no_,
-                        (m["loss"] + m["grad_norm"]).astype(jnp.float32))
+                        s * jnp.float32(1e-9)
+                        + (m["loss"] + m["grad_norm"]).astype(jnp.float32))
             p, o, s = jax.lax.fori_loop(
                 0, n, body, (p, o, salt * jnp.float32(1e-9)))
             tot = sum(jnp.sum(x).astype(jnp.float32)

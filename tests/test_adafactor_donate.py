@@ -40,6 +40,54 @@ def test_adafactor_state_is_factored():
     assert ada_b < adam_b / 20
 
 
+def test_adafactor_decay_is_lr_scaled():
+    """Weight decay must be adamw-equivalent DECOUPLED decay (-lr*wd*p),
+    not optax.adafactor's raw weight_decay_rate (which is applied after
+    lr scaling — a schedule-independent 1% shrink per step that destroys
+    a default 10k-step run: 0.99^10000 ~ 2e-44)."""
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.parallel import train
+
+    lr, wd = 1e-3, 0.01
+    params = {"w": jnp.ones((8, 8))}
+    grads = {"w": jnp.zeros((8, 8))}   # isolate the decay term
+    tx = train.adafactor(lr, weight_decay=wd)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    # zero grads -> adafactor's own update is 0; what remains is the decay
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               -lr * wd * np.ones((8, 8)),
+                               rtol=1e-5, atol=1e-10)
+
+
+def test_adafactor_decay_tracks_schedule():
+    """With a warmup schedule, step 0's decay is lr(0)*wd = 0 (warmup
+    starts at 0), and over many steps the total shrink stays bounded by
+    the lr-scaled product — never the raw 0.99^n collapse."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from loco_asr_tpu.parallel import train
+
+    lr, wd, n = 1e-3, 0.01, 100
+    tx = train.adafactor(lr, weight_decay=wd, warmup_steps=10,
+                         total_steps=n)
+    params = {"w": jnp.ones((4, 4))}
+    grads = {"w": jnp.zeros((4, 4))}
+    state = tx.init(params)
+    for _ in range(n):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    w = float(np.asarray(params["w"]).mean())
+    # raw decay would leave 0.99^100 = 0.366; lr-scaled decay leaves
+    # ~(1 - lr*wd)^100 > 0.999
+    assert w > 0.99, w
+    assert np.isfinite(w)
+
+
 def test_adafactor_lm_step_learns():
     """A few adafactor steps on a tiny LM reduce the loss (sanity that the
     schedule + weight decay wiring matches the adamw helper's contract)."""

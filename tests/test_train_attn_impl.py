@@ -102,8 +102,9 @@ def test_asr_train_step_rejects_dropout_silently_lost():
     assert cfg.attention_dropout > 0
     mesh = meshlib.make_mesh(data=1)
     tx = optax.adamw(1e-3)
-    step = train.make_asr_train_step(cfg, mesh, tx, donate=False,
-                                     attn_impl="flash")
+    with pytest.warns(UserWarning, match="attention_dropout.*zeroed"):
+        step = train.make_asr_train_step(cfg, mesh, tx, donate=False,
+                                         attn_impl="flash")
     params = st5.asr_init(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     batch = {
@@ -115,6 +116,29 @@ def test_asr_train_step_rejects_dropout_silently_lost():
     opt = tx.init(params)
     _, _, m = step(params, opt, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_lm_train_step_warns_on_zeroed_attn_dropout():
+    """make_lm_train_step under attn_impl != dense with attn_pdrop > 0
+    must WARN that attention-prob dropout is zeroed (the CLI user would
+    otherwise get silently different training semantics)."""
+    import warnings
+
+    from loco_asr_tpu.models.gpt2 import model as g
+
+    cfg = g.tiny_gpt2_config(vocab_size=64, n_positions=32, n_embd=32,
+                             n_head=4)
+    assert cfg.attn_pdrop > 0
+    mesh = meshlib.make_mesh(data=1)
+    tx = optax.adamw(1e-3)
+    with pytest.warns(UserWarning, match="attn_pdrop.*zeroed"):
+        train.make_lm_train_step(cfg, mesh, tx, donate=False,
+                                 attn_impl="flash")
+    # dense keeps dropout: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        train.make_lm_train_step(cfg, mesh, tx, donate=False,
+                                 attn_impl="dense")
 
 
 @pytest.mark.slow
