@@ -92,16 +92,45 @@ def bench_torch_cpu() -> float:
     return (n * 2 * SECONDS) / dt
 
 
+def pinned_cpu_rtfx(live: float) -> float:
+    """Cross-round stability: the torch-CPU reference RTFx is measured
+    ONCE and pinned into BASELINE.json ("pinned_cpu_rtfx"); later runs
+    reuse the pinned number so vs_baseline tracks OUR perf, not the CPU
+    box's load that day (r1-r3 live ratios swung 971x-1297x on an
+    identical workload).  The live measurement is still reported
+    alongside ("vs_baseline_live")."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.json")
+    try:
+        with open(path) as f:
+            base = json.load(f)
+    except Exception:
+        return live
+    if "pinned_cpu_rtfx" not in base:
+        base["pinned_cpu_rtfx"] = round(live, 2)
+        try:
+            with open(path, "w") as f:
+                json.dump(base, f, indent=2)
+        except OSError:
+            pass
+    return float(base["pinned_cpu_rtfx"])
+
+
 def main() -> int:
     from loco_asr_tpu.pipelines.common import setup_compilation_cache
     setup_compilation_cache()  # second run skips the relay compile
     ours = bench_jax()
-    ref = bench_torch_cpu()
+    ref_live = bench_torch_cpu()
+    ref = pinned_cpu_rtfx(ref_live)
     print(json.dumps({
         "metric": "speecht5_base_encoder_rtfx",
         "value": round(ours, 1),
         "unit": "audio_seconds/second",
         "vs_baseline": round(ours / ref, 2),
+        "cpu_ref_rtfx_pinned": round(ref, 2),
+        "cpu_ref_rtfx_live": round(ref_live, 2),
+        "vs_baseline_live": round(ours / ref_live, 2),
     }))
     return 0
 

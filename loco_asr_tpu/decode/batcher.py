@@ -174,9 +174,15 @@ def _beam_init_slots(cfg: SpeechT5Config, slots: int, k: int, enc_frames: int,
 
 def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
                       sel: jnp.ndarray, enc_new: jnp.ndarray,
-                      mask_new: jnp.ndarray, lm_cache: Optional[Dict] = None):
+                      mask_new: jnp.ndarray, lm_cache: Optional[Dict] = None,
+                      keep_lm: Optional[jnp.ndarray] = None):
     """Admit new utterances into the selected slots (sel: [S] bool;
-    enc_new/mask_new are [S, ...], tiled over the slot's K beams)."""
+    enc_new/mask_new are [S, ...], tiled over the slot's K beams).
+
+    ``keep_lm`` [S] bool: slots whose LM cache rows survive the admission
+    (beam conversation carry-over — the stream's next utterance's beams
+    all condition on the accumulated history).  Decoder caches always
+    reset (each utterance decodes from scratch)."""
     s = sel.shape[0]
     sel_flat = jnp.repeat(sel, k)                    # [S*K]
     enc_t = jnp.repeat(enc_new, k, axis=0)
@@ -187,7 +193,11 @@ def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
     init_scores = beam_init_scores(s, k)
     s1, s2 = sel[:, None], sel[:, None, None]
     if lm_cache is not None:
-        lm_cache = jax.tree_util.tree_map(zero, lm_cache)
+        lm_sel = (sel_flat if keep_lm is None
+                  else sel_flat & ~jnp.repeat(keep_lm, k))
+        zero_lm = lambda c: jnp.where(
+            lm_sel.reshape((-1,) + (1,) * (c.ndim - 1)), 0.0, c)
+        lm_cache = jax.tree_util.tree_map(zero_lm, lm_cache)
     new = BeamSlotState(
         enc=jnp.where(sel_flat[:, None, None], enc_t, state.enc),
         enc_mask=jnp.where(sel_flat[:, None], mask_t, state.enc_mask),
@@ -206,11 +216,17 @@ def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
 
 def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
                     max_len: int, state: BeamSlotState, fusion=None,
-                    lm_cache: Optional[Dict] = None):
+                    lm_cache: Optional[Dict] = None,
+                    lm_off: Optional[jnp.ndarray] = None):
     """``n_steps`` beam steps over all slots (all-done slots inert) —
     the per-step math of decode/beam.beam_search with per-slot offsets.
     With ``fusion``, the LM cache is beam-flat ([S*K, ...]) and reordered
-    by parent beam each step, exactly as static beam_search does."""
+    by parent beam each step, exactly as static beam_search does.
+
+    ``lm_off`` [S]: per-slot LM history offsets (beam conversation
+    carry-over); LM positions become ``lm_off + step``.  Frozen
+    (slot-done) slots' LM caches already revert wholesale each step, the
+    beam counterpart of the greedy chunk's ``freeze_lm``."""
     s = state.step.shape[0]
     v = cfg.vocab_size
     pad_onehot = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
@@ -226,8 +242,10 @@ def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
             st.enc, st.enc_mask, st.caches, cross_caches=cross)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         if fusion is not None:
+            pos_flat = (step_flat if lm_off is None
+                        else jnp.repeat(lm_off, k) + step_flat)
             lm_logp, lmc = fusion.step(st.last.reshape(s * k, 1),
-                                       step_flat, lmc)
+                                       pos_flat, lmc)
             logp = logp + lm_logp
         logp = logp.reshape(s, k, v)
         logp = jnp.where(st.done[..., None], pad_onehot[None, None], logp)
@@ -609,10 +627,173 @@ def _conv_jit_fns(cfg_key: tuple, chunk_steps: int, max_len: int,
     return insert, chunk, scatter
 
 
+@functools.lru_cache(maxsize=8)
+def _conv_beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int,
+                       max_len: int, lm_key: tuple, lm_weight: float):
+    """jit'd insert/chunk/select/scatter programs for BEAM conversation
+    carry-over: the chunk runs beam steps with per-slot LM offsets (done
+    slots frozen wholesale), the insert preserves LM rows of continuing
+    streams, ``select`` copies the finished slot's BEST hypothesis' LM
+    row over all its beam rows (the next utterance's beams condition on
+    the history actually emitted), and ``scatter`` replaces a slot's K
+    LM rows with a freshly primed row (rolling-window refresh)."""
+    from ..models.gpt2.model import GPT2Config
+    from .fusion import FusionLM
+
+    cfg = SpeechT5Config(**dict(cfg_key))
+    lm_cfg = GPT2Config(**dict(lm_key))
+    gather = lambda x, inv: jnp.take(x, inv, axis=0)   # [A,...] -> [S,...]
+    insert = jax.jit(
+        lambda state, sel, inv, keep_lm, enc_s, mask_s, lm_cache:
+        _beam_insert_many(cfg, k, state, sel, gather(enc_s, inv),
+                          gather(mask_s, inv), lm_cache, keep_lm=keep_lm),
+        donate_argnums=(0, 6))
+    chunk = jax.jit(
+        lambda params, lm_params, state, lm_cache, lm_off: _beam_run_chunk(
+            cfg, params, k, chunk_steps, max_len, state,
+            fusion=FusionLM(lm_params, lm_cfg, weight=lm_weight),
+            lm_cache=lm_cache, lm_off=lm_off),
+        donate_argnums=(2, 3))
+
+    def _select(lm_cache, slot, best):
+        def upd(c):
+            tail = (0,) * (c.ndim - 1)
+            row = jax.lax.dynamic_slice(c, (slot * k + best,) + tail,
+                                        (1,) + c.shape[1:])
+            return jax.lax.dynamic_update_slice(
+                c, jnp.broadcast_to(row, (k,) + c.shape[1:]),
+                (slot * k,) + tail)
+        return jax.tree_util.tree_map(upd, lm_cache)
+
+    def _scatter(lm_cache, row, slot):
+        def upd(c, r):
+            tail = (0,) * (c.ndim - 1)
+            r = jnp.broadcast_to(r.astype(c.dtype), (k,) + c.shape[1:])
+            return jax.lax.dynamic_update_slice(c, r, (slot * k,) + tail)
+        return jax.tree_util.tree_map(upd, lm_cache, row)
+
+    select = jax.jit(_select, donate_argnums=(0,))
+    scatter = jax.jit(_scatter, donate_argnums=(0,))
+    return insert, chunk, select, scatter
+
+
+def _decode_conversations_beam(
+    params: Dict, cfg: SpeechT5Config,
+    convs: List[Tuple[str, List[np.ndarray]]], empty: List[str],
+    *, fusion, slots: int, beam_size: int, chunk_steps: int, max_len: int,
+    length_penalty: float, audio_samples: int, encode_fn: Callable,
+    max_positions: int, decode_reserve: int,
+) -> Dict[str, List[Tuple[np.ndarray, int]]]:
+    """Beam-search continuous batching over conversation streams (the
+    BASELINE configs 4+5 combination: shallow-fusion beam decoding WITH
+    cross-utterance LM carry-over).  Numerics contract
+    (tests/test_conversation_batching.py): per conversation, tokens equal
+    decode/context.beam_decode_with_context run sequentially."""
+    k = beam_size
+    insert_fn, chunk_fn, select_fn, scatter_fn = _conv_beam_jit_fns(
+        _cfg_key(cfg), k, chunk_steps, max_len, _cfg_key(fusion.cfg),
+        fusion.weight)
+
+    queue = list(reversed(convs))              # pop() yields arrival order
+    slot_conv: List[Optional[str]] = [None] * slots
+    slot_wavs: List[Optional[list]] = [None] * slots
+    slot_hist: List[list] = [[] for _ in range(slots)]
+    lm_off = np.zeros((slots,), np.int32)
+    results: Dict[str, List[Tuple[np.ndarray, int]]] = \
+        {cid: [] for cid, _ in convs}
+    for cid in empty:
+        results[cid] = []
+    state: Optional[BeamSlotState] = None
+    lm_cache: Optional[Dict] = None
+
+    def start_next_conversation(i, pending):
+        if queue:
+            cid, wavs = queue.pop()
+            slot_conv[i] = cid
+            slot_wavs[i] = list(reversed(wavs))
+            slot_hist[i] = []
+            lm_off[i] = 0
+            pending.append((i, slot_wavs[i].pop(), False))
+
+    def admit(state, lm_cache, pending):
+        if not pending:
+            return state, lm_cache
+        keep = np.zeros((slots,), bool)
+        for i, _, kp in pending:
+            keep[i] = kp
+        sel, inv, enc, enc_mask = _encode_pending(
+            encode_fn, params, [(i, wav) for i, wav, _ in pending],
+            slots, audio_samples)
+        if state is None:
+            state = _beam_init_slots(cfg, slots, k, enc.shape[1], max_len,
+                                     enc.dtype)
+            lm_cache = fusion.init_cache(slots * k, max_positions)
+        return insert_fn(state, sel, inv, jnp.asarray(keep),
+                         enc, enc_mask, lm_cache)
+
+    def refresh_slot(i, lm_cache):
+        """decode/context.py _refresh for one slot: drop the oldest half
+        of the stream's history, prime the kept tail into a fresh row,
+        tile it over the slot's K beam rows."""
+        hist = (np.concatenate(slot_hist[i]) if slot_hist[i]
+                else np.zeros((0,), np.int32))
+        limit = max_positions - decode_reserve
+        keep = max(0, min(len(hist) // 2, limit))
+        tail = hist[len(hist) - keep:] if keep else hist[:0]
+        slot_hist[i] = [tail]
+        lm_off[i] = len(tail)
+        row = fusion.init_cache(1, max_positions)
+        if keep > 0:
+            row, _ = fusion.prime(jnp.asarray(tail[None]), row,
+                                  jnp.zeros((1,), jnp.int32))
+        return scatter_fn(lm_cache, row, jnp.int32(i))
+
+    pending: List[Tuple[int, np.ndarray, bool]] = []
+    for i in range(slots):
+        start_next_conversation(i, pending)
+    state, lm_cache = admit(state, lm_cache, pending)
+
+    while any(c is not None for c in slot_conv):
+        state, lm_cache = chunk_fn(params, fusion.params, state, lm_cache,
+                                   jnp.asarray(lm_off))
+        done = np.asarray(state.done)             # one host sync per chunk
+        slot_done = done.all(axis=1)
+        finished = [i for i in range(slots)
+                    if slot_conv[i] is not None and slot_done[i]]
+        if not finished:
+            continue
+        tokens = np.asarray(state.tokens)
+        scores = np.asarray(state.scores)
+        lengths = np.asarray(state.lengths)
+        pending = []
+        for i in finished:
+            # host-side GNMT ranking (see decode_continuous_beam)
+            lens = np.maximum(lengths[i].astype(np.float32), 1.0)
+            norm = scores[i] / ((5.0 + lens) / 6.0) ** length_penalty
+            best = int(np.argmax(norm))
+            toks = tokens[i, best]
+            length = int(lengths[i, best])
+            results[slot_conv[i]].append((toks.copy(), length))
+            slot_hist[i].append(toks[:length].astype(np.int32).copy())
+            # carry the BEST hypothesis' LM state into every beam row
+            lm_cache = select_fn(lm_cache, jnp.int32(i), jnp.int32(best))
+            lm_off[i] += length
+            if int(lm_off[i]) > max_positions - decode_reserve:
+                lm_cache = refresh_slot(i, lm_cache)
+            if slot_wavs[i]:
+                pending.append((i, slot_wavs[i].pop(), True))
+            else:
+                slot_conv[i] = None
+                start_next_conversation(i, pending)
+        state, lm_cache = admit(state, lm_cache, pending)
+    return results
+
+
 def decode_conversations(
     params: Dict, cfg: SpeechT5Config,
     conversations: Iterable[Tuple[str, List[np.ndarray]]],
     *, fusion, slots: int = 4, chunk_steps: int = 16, max_len: int = 100,
+    beam_size: int = 1, length_penalty: float = 1.0,
     audio_samples: Optional[int] = None,
     encode_fn: Optional[Callable] = None,
     max_positions: Optional[int] = None,
@@ -634,6 +815,12 @@ def decode_conversations(
     Numerics contract (tests/test_conversation_batching.py): per
     conversation, tokens are EXACTLY those of greedy_decode +
     ConversationContext(batch=1) run sequentially on that conversation.
+
+    ``beam_size > 1`` runs BEAM search per slot (K beams per
+    conversation, all conditioned on the stream's carried LM history; the
+    best hypothesis' LM state carries forward) — the BASELINE configs
+    4+5 combination; the sequential reference is
+    decode/context.beam_decode_with_context.
 
     Returns {conv_id: [(tokens [max_len], length), ...] per utterance}.
     """
@@ -668,6 +855,13 @@ def decode_conversations(
                                  f"{audio_samples}")
     if encode_fn is None:
         encode_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+    if beam_size > 1:
+        return _decode_conversations_beam(
+            params, cfg, convs, empty, fusion=fusion, slots=slots,
+            beam_size=beam_size, chunk_steps=chunk_steps, max_len=max_len,
+            length_penalty=length_penalty, audio_samples=audio_samples,
+            encode_fn=encode_fn, max_positions=max_positions,
+            decode_reserve=decode_reserve)
     insert_fn, chunk_fn, scatter_fn = _conv_jit_fns(
         _cfg_key(cfg), chunk_steps, max_len, _cfg_key(fusion.cfg),
         fusion.weight)

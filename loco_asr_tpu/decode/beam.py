@@ -198,15 +198,23 @@ def beam_search(
         jnp.full((b, k), cfg.decoder_start_token_id, jnp.int32),
         caches, lm_cache,
     )
-    tokens, scores, lengths, done, _, _, _ = jax.lax.fori_loop(
+    tokens, scores, lengths, done, _, _, final_lm_cache = jax.lax.fori_loop(
         0, max_len, body, state)
 
     normalized = scores / _length_penalty(jnp.maximum(lengths, 1), length_penalty)
     order = jnp.argsort(-normalized, axis=1)
     take = lambda x: jnp.take_along_axis(
         x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
-    return BeamHypotheses(tokens=take(tokens), scores=take(scores),
+    hyps = BeamHypotheses(tokens=take(tokens), scores=take(scores),
                           lengths=take(lengths), normalized=take(normalized))
+    if not return_lm_cache:
+        return hyps
+    if final_lm_cache is not None:
+        # beam-flat rows -> hypothesis order (row i*K+0 = best of stream i)
+        flat_idx = (jnp.arange(b)[:, None] * k + order).reshape(-1)
+        final_lm_cache = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, flat_idx, axis=0), final_lm_cache)
+    return hyps, final_lm_cache
 
 
 def decode_utterance_batch(

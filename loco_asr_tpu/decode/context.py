@@ -117,3 +117,38 @@ class ConversationContext:
         self._history = [[] for _ in range(self.batch)]
         self._cache = self.lm.init_cache(self.batch, self.max_positions)
         self._offsets = np.zeros((self.batch,), np.int32)
+
+
+def beam_decode_with_context(params, cfg, encoder_hidden, encoder_mask,
+                             ctx: ConversationContext, *, beam_size: int,
+                             max_len: int = 100,
+                             length_penalty: float = 1.0):
+    """One conversation utterance decoded with BEAM search + carry-over
+    (the sequential reference for the continuous batcher's beam
+    conversation mode — BASELINE configs 4+5 combined).
+
+    Each of the stream's K beams starts from the SAME carried LM state
+    (the per-stream cache tiled over beams); after the search, the BEST
+    hypothesis' LM cache row is what carries forward — the next utterance
+    conditions on the history actually emitted, exactly like the greedy
+    path carries its single stream's cache.
+
+    Returns the BeamHypotheses; ``ctx`` is advanced by the best
+    hypothesis of each stream.
+    """
+    import jax
+
+    from .beam import beam_search
+
+    k = beam_size
+    cache, start = ctx.state()
+    k_cache = jax.tree_util.tree_map(lambda c: jnp.repeat(c, k, axis=0),
+                                     cache)
+    hyp, lm_cache = beam_search(
+        params, cfg, encoder_hidden, encoder_mask, beam_size=k,
+        max_len=max_len, length_penalty=length_penalty, fusion=ctx.lm,
+        lm_cache=k_cache, lm_start=start, return_lm_cache=True)
+    # rows are in hypothesis order: row i*K+0 = stream i's best
+    best_cache = jax.tree_util.tree_map(lambda c: c[::k], lm_cache)
+    ctx.append(hyp.tokens[:, 0], hyp.lengths[:, 0], best_cache)
+    return hyp

@@ -78,30 +78,72 @@ def partition_specs(params: Dict, rules: Sequence[Rule] = TRANSFORMER_RULES) -> 
     return unflatten_from_paths({k: spec_for(k, rules) for k in flat})
 
 
-def _validate(spec: P, shape: Tuple[int, ...], mesh: Mesh,
-              path: str = "") -> P:
-    """Drop sharding on axes the array can't honor (tiny dims); keeps the
-    rules usable for toy test configs.  Every drop is logged — at real
-    scale a silently-replicated tensor means a mistyped rule or an odd
-    vocab, and the memory/step-time cost is large."""
-    out = []
+def validate_spec(spec: P, shape: Tuple[int, ...],
+                  axis_sizes: Dict[str, int], path: str = "") -> P:
+    """Resolve a rule spec against a concrete shape + mesh-axis sizes.
+
+    1. Drop sharding on dims the array can't honor (indivisible dims —
+       keeps the rules usable for toy test configs).
+    2. RELOCATE a dropped mesh axis to another dim that CAN honor it
+       (combined with whatever trivial/compatible axes already sit
+       there).  The motivating case is gpt2-xl's wte [50257, 1600] under
+       --mesh 1,8,1: the vocab dim is not divisible by fsdp=8, and
+       without relocation ~920 MB of embedding + Adam state would be
+       silently replicated on every chip; moving fsdp to the (divisible)
+       embedding dim keeps the state fully sharded
+       (tests/test_fsdp_memory.py pins the residue).
+    3. Only if no dim can take the axis is it dropped for real — logged
+       as a warning, since at real scale that means a mistyped rule or
+       an odd vocab and the memory/step-time cost is large.
+    """
+    out: List = []
+    dropped: List[Tuple] = []
     for i, s in enumerate(spec):
-        if s is None:
+        if s is None or i >= len(shape):
             out.append(None)
             continue
         names = s if isinstance(s, tuple) else (s,)
-        size = int(np.prod([mesh.shape[n] for n in names]))
-        if i < len(shape) and shape[i] % size == 0:
+        size = int(np.prod([axis_sizes[n] for n in names]))
+        if shape[i] % size == 0:
             out.append(s)
         else:
+            out.append(None)
+            if size > 1:
+                dropped.append((i, names, size))
+    out += [None] * (len(shape) - len(out))
+    out = out[:len(shape)]
+
+    for i, names, size in dropped:
+        placed = False
+        for j in range(len(shape)):
+            if j == i:
+                continue
+            here = out[j]
+            here_names = (() if here is None
+                          else (here if isinstance(here, tuple) else (here,)))
+            if any(n in here_names for n in names):
+                continue
+            combined = here_names + names
+            csize = int(np.prod([axis_sizes[n] for n in combined]))
+            if shape[j] % csize == 0:
+                out[j] = combined if len(combined) > 1 else combined[0]
+                logger.info(
+                    "partition rule relocated: %s mesh axis %r moved from "
+                    "dim %d (size %d, indivisible) to dim %d (size %d)",
+                    path or "<param>", names, i, shape[i], j, shape[j])
+                placed = True
+                break
+        if not placed:
             logger.warning(
                 "partition rule dropped: %s dim %d (size %s) not divisible "
                 "by mesh axis %r (size %d) — tensor axis will be REPLICATED",
-                path or "<param>", i, shape[i] if i < len(shape) else "<absent>",
-                s, size)
-            out.append(None)
-    out += [None] * (len(shape) - len(out))
-    return P(*out[:len(shape)])
+                path or "<param>", i, shape[i], names, size)
+    return P(*out)
+
+
+def _validate(spec: P, shape: Tuple[int, ...], mesh: Mesh,
+              path: str = "") -> P:
+    return validate_spec(spec, shape, dict(mesh.shape), path=path)
 
 
 def shard_params(params: Dict, mesh: Mesh,

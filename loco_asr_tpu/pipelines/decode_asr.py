@@ -46,7 +46,10 @@ def parse_args(argv=None):
                         "reference convention); the fusion LM's KV cache "
                         "carries each recording's context across its "
                         "utterances in start-time order (requires an LM; "
-                        "BASELINE config 5)")
+                        "BASELINE config 5).  Combines with --beam_size "
+                        "> 1: K beams per conversation, the best "
+                        "hypothesis' LM state carries forward (BASELINE "
+                        "configs 4+5)")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard the decode batch over this many devices "
                         "(params replicated; encoder + the whole beam/"
@@ -81,10 +84,6 @@ def main(argv=None) -> int:
                          "scheduling; DP decode uses static batches)")
     if args.conversation and not args.continuous:
         raise SystemExit("--conversation requires --continuous")
-    if args.conversation and args.beam_size > 1:
-        raise SystemExit("--conversation currently decodes greedily "
-                         "(beam carry-over is not implemented); use "
-                         "--beam_size 1")
 
     os.makedirs(args.out_dir, exist_ok=True)
     tokenizer = load_tokenizer(args.tokenizer)
@@ -188,6 +187,8 @@ def main(argv=None) -> int:
             conv_out = decode_conversations(
                 params, cfg, convs, fusion=fusion, slots=args.batch_size,
                 max_len=args.max_decode_len,
+                beam_size=args.beam_size,
+                length_penalty=args.length_penalty,
                 audio_samples=int(args.max_seconds * 16000),
                 encode_fn=enc_fn,
                 decode_reserve=args.max_decode_len + 8)

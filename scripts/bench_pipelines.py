@@ -214,6 +214,112 @@ def bench_longctx_train(seconds: float, batch: int, label_len: int,
     WWW.update(rows)
 
 
+def bench_conv_train(conversation_seconds: float, batch: int,
+                     attn_impl: str = "flash", remat="lite",
+                     mp: bool = False, utt_seconds: float = 8.0):
+    """Conversation-WINDOW training step: the batch comes from the REAL
+    data path — a Kaldi dir (text/segments/wav.scp with per-utterance
+    audio files) run through ConversationAsrDataset's window construction
+    (chronological ordering, segment cropping, concatenation, separator
+    tokens) and its padded batcher — not a handcrafted tensor.  Audio
+    content is synthesized (no LDC corpus in this container) but every
+    byte flows through the production pipeline train_asr
+    --conversation_seconds uses."""
+    import shutil
+    import tempfile
+    import wave as wave_mod
+
+    import jax
+    import jax.numpy as jnp
+
+    from loco_asr_tpu.data.asr_dataset import ConversationAsrDataset
+    from loco_asr_tpu.data.tokenizer import CharTokenizer
+    from loco_asr_tpu.models.speecht5.config import SpeechT5Config
+    from loco_asr_tpu.parallel import mesh as meshlib, partition, train
+    from loco_asr_tpu.pipelines import common
+    from loco_asr_tpu.utils.profiling import device_time_per_iter
+
+    cfg = SpeechT5Config()
+    rng = np.random.default_rng(0)
+    root = tempfile.mkdtemp(prefix="conv_bench_")
+    try:
+        # one recording per batch row, each holding exactly one window's
+        # worth of utterances (utt_seconds each, chronological utt ids)
+        utts_per_win = max(1, int(conversation_seconds // utt_seconds))
+        text_lines, seg_lines, scp_lines = [], [], []
+        words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+                 "dogs", "and", "cats", "speak", "now"]
+        for r in range(batch):
+            rec = f"rec{r}-A"
+            dur = utts_per_win * utt_seconds
+            pcm = (rng.standard_normal(int(dur * 16000)) * 3000).astype(
+                np.int16)
+            path = f"{root}/{rec}.wav"
+            with wave_mod.open(path, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            scp_lines.append(f"{rec} {path}")
+            for u in range(utts_per_win):
+                s, e = u * utt_seconds, (u + 1) * utt_seconds
+                uid = f"rec{r}-A-{int(s*100):06d}-{int(e*100):06d}"
+                text = " ".join(rng.choice(words, 20))
+                text_lines.append(f"{uid} {text}")
+                seg_lines.append(f"{uid} {rec} {s:.2f} {e:.2f}")
+        with open(f"{root}/text", "w") as f:
+            f.write("\n".join(text_lines) + "\n")
+        with open(f"{root}/segments", "w") as f:
+            f.write("\n".join(seg_lines) + "\n")
+        with open(f"{root}/wav.scp", "w") as f:
+            f.write("\n".join(scp_lines) + "\n")
+
+        ds = ConversationAsrDataset(root,
+                                    window_seconds=conversation_seconds)
+        n_windows = len(ds)
+        tok = CharTokenizer()
+        max_label = max(128, int(16 * conversation_seconds))
+        b = next(ds.batches(tok, batch, max_label_len=max_label,
+                            eos_id=cfg.eos_token_id))
+        frames = cfg.feat_extract_output_length(b["input_values"].shape[1])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    mesh = meshlib.make_mesh(-1, 1, 1)
+    params = common.load_speecht5_params(None, "asr", cfg,
+                                         jax.random.PRNGKey(0))
+    params = partition.shard_params(params, mesh)
+    tx = train.adamw(1e-4, 0.01, 10, 1000)
+    opt_state = tx.init(params)
+    step_fn = train.make_asr_train_step(
+        cfg, mesh, tx, donate=False, remat=remat, attn_impl=attn_impl,
+        compute_dtype=jnp.bfloat16 if mp else None)
+    batch_d = train.shard_batch(
+        {k: jnp.asarray(v) for k, v in b.items()
+         if k in ("input_values", "attention_mask", "labels")}, mesh)
+
+    def step(p, opt, bb, r):
+        new_p, new_opt, m = step_fn(p, opt, bb, r)
+        tot = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_p))
+        return m["loss"] + m["grad_norm"] + tot * 1e-20
+
+    per = device_time_per_iter(step, params, opt_state, batch_d,
+                               jax.random.PRNGKey(0), iters=4)
+    audio_s = float(np.asarray(b["attention_mask"]).sum()) / 16000.0
+    WWW.update({
+        "convtrain_windows": n_windows,
+        "convtrain_frames": frames,
+        "convtrain_label_len": int(b["labels"].shape[1]),
+        "convtrain_step_ms": per * 1e3,
+        "convtrain_audio_s_per_s": audio_s / per,
+    })
+    print(f"conversation-window train [{attn_impl}+remat={remat}"
+          f"{' mp' if mp else ''}, B{batch} x "
+          f"{conversation_seconds:.0f}s windows = {frames} frames, "
+          f"labels {b['labels'].shape[1]}]: {per*1e3:.1f} ms/step "
+          f"({audio_s/per:,.1f} audio-s/s)")
+
+
 def bench_train_lm(bsize: int, seq_len: int, model: str = "gpt2",
                    mp: bool = False, rng_impl: str = "threefry",
                    loss_impl: str = "chunked", attn_impl: str = "dense",
@@ -496,7 +602,8 @@ def bench_conversations(n_convs: int, utts_per_conv: int, slots: int,
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--only", choices=["ppl", "train", "decode", "cont",
-                                      "longctx", "conv", "trainlm"],
+                                      "longctx", "conv", "trainlm",
+                                      "convtrain"],
                    default=None)
     p.add_argument("--longctx_seconds", type=float, default=164.0,
                    help="audio seconds for the long-context train row "
@@ -591,6 +698,9 @@ def main(argv=None):
                        state_timer=args.train_state_timer)
     if args.only == "conv":
         bench_conversations(8, 4, 8, 200)
+    if args.only == "convtrain":
+        bench_conv_train(args.longctx_seconds, args.longctx_batch,
+                         remat=args.longctx_remat, mp=args.train_mp)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(WWW, f, indent=2)

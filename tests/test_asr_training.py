@@ -132,6 +132,25 @@ def test_train_asr_pipeline_smoke(kaldi_dir, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_train_asr_conversation_windows(kaldi_dir, tmp_path, monkeypatch):
+    """--conversation_seconds: train on conversation windows end-to-end
+    (window construction -> flash attention -> real steps from a Kaldi
+    dir — the LoCo long-context training seam, VERDICT r3 item 1)."""
+    from loco_asr_tpu.pipelines import train_asr
+
+    monkeypatch.chdir(tmp_path)
+    rc = train_asr.main([
+        "--train_dir", kaldi_dir, "--out_dir", "exp/conv", "--tiny",
+        "--steps", "2", "--batch_size", "2", "--eval_every", "100",
+        "--save_every", "2", "--mesh", "1,1,1",
+        "--conversation_seconds", "2.5", "--attn_impl", "flash",
+        "--warmup_steps", "1", "--decode_max_len", "4"])
+    assert rc == 0
+    assert os.path.exists("exp/conv/metrics.jsonl")
+    assert os.path.exists("exp/conv/ckpt/status.json")
+
+
+@pytest.mark.slow
 def test_decode_asr_continuous_matches_static(kaldi_dir, tmp_path, monkeypatch):
     """--continuous (slot-level admission) must emit the same hypotheses
     as static greedy batching for every utterance."""

@@ -128,6 +128,76 @@ def test_more_conversations_than_slots(setup):
                                           err_msg=f"{conv_id} utt {u}")
 
 
+def sequential_beam_reference(cfg, params, fusion, wavs, beam_size, max_len,
+                              length_penalty=1.0, max_positions=None,
+                              decode_reserve=None):
+    """Each conversation decoded alone: beam + carry-over via
+    beam_decode_with_context (the BASELINE configs 4+5 reference)."""
+    from loco_asr_tpu.decode.context import beam_decode_with_context
+
+    kw = {}
+    if max_positions is not None:
+        kw["max_positions"] = max_positions
+    if decode_reserve is not None:
+        kw["decode_reserve"] = decode_reserve
+    ctx = ConversationContext(lm=fusion, batch=1, **kw)
+    outs = []
+    for wav in wavs:
+        w = np.zeros((1, BUCKET), np.float32)
+        w[0, : len(wav)] = wav
+        m = np.zeros((1, BUCKET), np.int32)
+        m[0, : len(wav)] = 1
+        enc, mask = st5.encode_speech(params, cfg, jnp.asarray(w),
+                                      jnp.asarray(m))
+        hyp = beam_decode_with_context(
+            params, cfg, enc, mask, ctx, beam_size=beam_size,
+            max_len=max_len, length_penalty=length_penalty)
+        outs.append((np.asarray(hyp.tokens)[0, 0],
+                     int(np.asarray(hyp.lengths)[0, 0])))
+    return outs
+
+
+@pytest.mark.slow
+def test_beam_carry_over_matches_sequential(setup):
+    """decode_conversations(beam_size=2): interleaved beam conversation
+    streams == each conversation decoded alone with
+    beam_decode_with_context (beam + fusion + carry-over combined)."""
+    cfg, params, fusion, convs = setup
+    max_len, k = 10, 2
+    results = batcher.decode_conversations(
+        params, cfg, convs, fusion=fusion, slots=2, chunk_steps=4,
+        max_len=max_len, beam_size=k, audio_samples=BUCKET)
+    for conv_id, wavs in convs:
+        ref = sequential_beam_reference(cfg, params, fusion, wavs, k, max_len)
+        got = results[conv_id]
+        assert len(got) == len(wavs), conv_id
+        for u, ((g_toks, g_len), (r_toks, r_len)) in enumerate(zip(got, ref)):
+            assert g_len == r_len, f"{conv_id} utt {u}"
+            np.testing.assert_array_equal(g_toks, r_toks,
+                                          err_msg=f"{conv_id} utt {u}")
+
+
+@pytest.mark.slow
+def test_beam_carry_over_with_rolling_refresh(setup):
+    """Beam conversation streams across the rolling-window refresh: the
+    per-slot drop-oldest-half + re-prime must reproduce
+    ConversationContext's numerics under beam decoding too."""
+    cfg, params, fusion, convs = setup
+    max_len, k = 10, 2
+    kw = dict(max_positions=64, decode_reserve=16)
+    results = batcher.decode_conversations(
+        params, cfg, convs, fusion=fusion, slots=2, chunk_steps=3,
+        max_len=max_len, beam_size=k, audio_samples=BUCKET, **kw)
+    for conv_id, wavs in convs:
+        ref = sequential_beam_reference(cfg, params, fusion, wavs, k,
+                                        max_len, **kw)
+        got = results[conv_id]
+        for u, ((g_toks, g_len), (r_toks, r_len)) in enumerate(zip(got, ref)):
+            assert g_len == r_len, f"{conv_id} utt {u}"
+            np.testing.assert_array_equal(g_toks, r_toks,
+                                          err_msg=f"{conv_id} utt {u}")
+
+
 def test_requires_fusion(setup):
     cfg, params, _, convs = setup
     with pytest.raises(ValueError, match="fusion"):
@@ -188,6 +258,17 @@ def test_decode_asr_conversation_cli(tmp_path, monkeypatch):
         "rec1-A-000000-000100", "rec1-A-000100-000200",
         "rec2-A-000000-000150"]
     assert os.path.exists("exp/conv/wer.json")
+
+    # beam x conversation (BASELINE configs 4+5): same surface, K beams
+    rc = decode_asr.main([
+        "--data_dir", str(root), "--out_dir", "exp/convbeam", "--tiny",
+        "--beam_size", "2", "--max_decode_len", "8", "--batch_size", "2",
+        "--max_seconds", "1.5", "--continuous", "--conversation",
+        "--lm_checkpoint", lm_path])
+    assert rc == 0
+    blines = open("exp/convbeam/hyp.text").read().strip().splitlines()
+    assert sorted(l.split()[0] for l in blines) == sorted(
+        l.split()[0] for l in lines)
 
 
 def test_zero_utterance_conversation_and_reserve_validation(setup):

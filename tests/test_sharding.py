@@ -212,12 +212,29 @@ def test_multislice_rejects_indivisible():
 def test_validate_drop_logs_warning(caplog):
     import logging
     m = meshlib.make_mesh(data=2, fsdp=2, tensor=2)
-    # 5 is not divisible by tensor=2 -> rule dropped, warning logged
+    # 5 is not divisible by tensor=2, and dim0 (size 2) can't absorb the
+    # combined ("fsdp","tensor")=4 either -> true replication, warning
     with caplog.at_level(logging.WARNING, logger="loco_asr_tpu.parallel.partition"):
-        spec = partition._validate(P("fsdp", "tensor"), (4, 5), m, path="toy.kernel")
+        spec = partition._validate(P("fsdp", "tensor"), (2, 5), m, path="toy.kernel")
     assert spec == P("fsdp", None)
     assert any("toy.kernel" in r.message and "REPLICATED" in r.message
                for r in caplog.records)
+
+
+def test_validate_relocates_dropped_axis():
+    """An axis whose dim is indivisible moves to another dim that can
+    honor it (gpt2-xl wte vocab % fsdp != 0 -> fsdp shards the embedding
+    dim instead of replicating ~920 MB/chip; see test_fsdp_memory)."""
+    m = meshlib.make_mesh(data=1, fsdp=8, tensor=1)
+    # vocab 50257 not divisible by 8; embedding dim 1600 is
+    spec = partition._validate(P("fsdp", "tensor"), (50257, 1600), m,
+                               path="wte.weight")
+    assert spec == P(None, ("tensor", "fsdp"))
+    # with tensor=2 the combined (tensor, fsdp)=16 still divides 1600
+    m2 = meshlib.make_mesh(data=1, fsdp=4, tensor=2)
+    spec2 = partition._validate(P("fsdp", "tensor"), (50257, 1600), m2,
+                                path="wte.weight")
+    assert spec2 == P(None, ("tensor", "fsdp"))
 
 
 def test_init_sharded_places_params(mesh8):

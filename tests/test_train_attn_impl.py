@@ -218,6 +218,59 @@ def test_lm_train_step_ulysses_matches_dense_on_mesh():
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("impl", ["ring", "ulysses"])
+def test_asr_train_step_sp_matches_dense_on_mesh(asr_setup, impl):
+    """ASR train step with ring/ulysses sequence parallelism over a
+    2-device virtual mesh: loss + updated params match the single-device
+    dense step.  This is the multi-chip conversation-TRAINING path (SP
+    over encoder frames) that train_asr --attn_impl ring/ulysses runs."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg, params, _ = asr_setup
+    tx = optax.adamw(1e-3)
+
+    # SP shards ENCODER FRAMES: pick an audio length whose frame count
+    # divides the 2-device sequence mesh (1600 samples -> 159 frames
+    # would be rejected by sp.sp_shard_map)
+    t = 1600
+    while cfg.feat_extract_output_length(t) % 2:
+        t += 16
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_values": jnp.asarray(
+            rng.standard_normal((2, t)).astype(np.float32) * 0.1),
+        "attention_mask": jnp.ones((2, t), jnp.int32),
+        "labels": jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 7))),
+    }
+
+    dense = train.make_asr_train_step(cfg, meshlib.make_mesh(data=1), tx,
+                                      donate=False)
+    p_d, _, m_d = dense(params, tx.init(params), batch,
+                        jax.random.PRNGKey(1))
+
+    sp_mesh = Mesh(np.asarray(jax.devices()[:2]), ("sequence",))
+    sp_step = train.make_asr_train_step(
+        cfg, sp_mesh, tx, donate=False, attn_impl=impl,
+        ring=(sp_mesh, "sequence"))
+    seq_sh = NamedSharding(sp_mesh, P(None, "sequence"))
+    sharded = {"input_values": jax.device_put(batch["input_values"], seq_sh),
+               "attention_mask": jax.device_put(batch["attention_mask"],
+                                                seq_sh),
+               "labels": jax.device_put(batch["labels"],
+                                        NamedSharding(sp_mesh, P()))}
+    p_params = jax.device_put(params, NamedSharding(sp_mesh, P()))
+    p_s, _, m_s = sp_step(p_params, tx.init(p_params), sharded,
+                          jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_d["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p_d)),
+                    jax.tree_util.tree_leaves(jax.device_get(p_s))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_lm_train_step_flash_matches_dense():
     from loco_asr_tpu.models.gpt2 import model as g
 
