@@ -31,6 +31,11 @@ def parse_args(argv=None):
                    choices=["tiny", "gpt2", "gpt2-medium", "gpt2-large", "gpt2-xl"])
     p.add_argument("--lm_weight", type=float, default=0.3)
     p.add_argument("--max_decode_len", type=int, default=200)
+    p.add_argument("--beam_size", type=int, default=1,
+                   help="beams per stream in --continuous mode (with an "
+                        "LM: beam + conversation carry-over per episode, "
+                        "BASELINE configs 4+5)")
+    p.add_argument("--length_penalty", type=float, default=1.0)
     p.add_argument("--batch_seconds", type=float, default=20.0)
     p.add_argument("--attn_impl", choices=["dense", "flash"], default="dense",
                    help="'flash' = banded rel-pos Pallas kernel; lets "
@@ -130,7 +135,8 @@ def _run_continuous(args, cfg, params, fusion, tokenizer, episodes,
     import numpy as np
 
     from ..data.podcasts import segment_by_energy
-    from ..decode.batcher import decode_continuous, decode_conversations
+    from ..decode.batcher import (decode_continuous, decode_continuous_beam,
+                                  decode_conversations)
     from ..ops.audio import load_audio
     from ..utils.metrics import Stopwatch
     from ..utils.wer import wer
@@ -170,15 +176,24 @@ def _run_continuous(args, cfg, params, fusion, tokenizer, episodes,
         results = decode_conversations(
             params, cfg, convs, fusion=fusion, slots=args.slots,
             chunk_steps=args.chunk_steps, max_len=args.max_decode_len,
+            beam_size=args.beam_size, length_penalty=args.length_penalty,
             audio_samples=bucket,
             decode_reserve=args.max_decode_len + 8)  # = transcribe_long_audio
     else:
         utts = [(f"{cid}::{i}", w) for cid, chunks in convs
                 for i, w in enumerate(chunks)]
-        flat = decode_continuous(
-            params, cfg, utts, slots=args.slots,
-            chunk_steps=args.chunk_steps, max_len=args.max_decode_len,
-            audio_samples=bucket)
+        if args.beam_size > 1:
+            flat = decode_continuous_beam(
+                params, cfg, utts, slots=args.slots,
+                beam_size=args.beam_size,
+                length_penalty=args.length_penalty,
+                chunk_steps=args.chunk_steps, max_len=args.max_decode_len,
+                audio_samples=bucket)
+        else:
+            flat = decode_continuous(
+                params, cfg, utts, slots=args.slots,
+                chunk_steps=args.chunk_steps, max_len=args.max_decode_len,
+                audio_samples=bucket)
         results = {}
         for cid, chunks in convs:
             results[cid] = [flat[f"{cid}::{i}"] for i in range(len(chunks))]

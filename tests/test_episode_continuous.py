@@ -98,3 +98,35 @@ def test_episodes_continuous_with_lm_carry_over(manifest, tmp_path,
     by_ep = _check_outputs("out_lm", {"ep0": 3, "ep1": 2})
     for row in by_ep.values():
         assert "wer" in row
+
+
+def test_episodes_continuous_beam(manifest, tmp_path, monkeypatch):
+    """--beam_size > 1 in episode mode: beam + per-episode LM carry-over
+    (and beam-only without an LM) both produce a full output set."""
+    import jax
+
+    from loco_asr_tpu.models.gpt2 import model as g
+    from loco_asr_tpu.pipelines import transcribe_episodes
+    from loco_asr_tpu.utils.checkpoint import save_npz
+
+    lm_cfg = g.tiny_gpt2_config(vocab_size=256, n_embd=32, n_head=4,
+                                n_positions=512)
+    lm_path = str(tmp_path / "lm.npz")
+    save_npz(lm_path, g.gpt2_init(jax.random.PRNGKey(3), lm_cfg))
+
+    monkeypatch.chdir(tmp_path)
+    rc = transcribe_episodes.main([
+        "--manifest", manifest, "--out_dir", "out_beam", "--tiny",
+        "--max_decode_len", "6", "--batch_seconds", "1.0",
+        "--continuous", "--slots", "2", "--chunk_steps", "3",
+        "--beam_size", "2", "--lm_checkpoint", lm_path])
+    assert rc == 0
+    _check_outputs("out_beam", {"ep0": 3, "ep1": 2})
+
+    rc = transcribe_episodes.main([
+        "--manifest", manifest, "--out_dir", "out_beam_nolm", "--tiny",
+        "--max_decode_len", "6", "--batch_seconds", "1.0",
+        "--continuous", "--slots", "2", "--chunk_steps", "3",
+        "--beam_size", "2"])
+    assert rc == 0
+    _check_outputs("out_beam_nolm", {"ep0": 3, "ep1": 2})
