@@ -214,6 +214,10 @@ def main(argv=None) -> int:
             ids = [int(t) for t in toks[:L] if int(t) != cfg.eos_token_id]
             hyp = (tokenizer.decode(ids)
                    if hasattr(tokenizer, "decode") and ids else "")
+            # hyp.text is LINE-based Kaldi format: a raw byte-level decode
+            # can contain newlines/control whitespace — normalize (WER is
+            # whitespace-tokenized, so scoring is unchanged)
+            hyp = " ".join(hyp.split())
             refs.append(text_by_id[utt_id])
             hyps.append(hyp)
             hyp_lines.append(f"{utt_id} {hyp}")
@@ -236,6 +240,7 @@ def main(argv=None) -> int:
                 ids = [int(t) for t in row[:L] if int(t) != cfg.eos_token_id]
                 hyp = (tokenizer.decode(ids)
                        if hasattr(tokenizer, "decode") and ids else "")
+                hyp = " ".join(hyp.split())   # line-based format, see above
                 refs.append(text)
                 hyps.append(hyp)
                 hyp_lines.append(f"{utt_id} {hyp}")
