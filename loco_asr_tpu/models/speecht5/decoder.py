@@ -83,16 +83,21 @@ def _decoder_layer(
     kv_cache: Optional[Dict], cache_index: Optional[jnp.ndarray],
     dropout_rng, deterministic: bool,
     cross_kv: Optional[Dict] = None,
+    attn_impl: str = "dense",
+    enc_valid_len: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     act = layers.ACTIVATIONS[cfg.hidden_act]
     rngs = (None,) * 6 if dropout_rng is None else tuple(jax.random.split(dropout_rng, 6))
 
     residual = hidden
+    # flash self-attention is causal-in-kernel (no O(L^2) bias; label
+    # right-padding is inert under causality, garbage pad rows fall to
+    # the loss mask) — the conversation-window training configuration
     attn_out, new_cache = attention.multi_head_attention(
         lp["self_attn"], hidden, num_heads=cfg.decoder_attention_heads,
         attention_bias=self_bias, kv_cache=kv_cache, cache_index=cache_index,
         dropout_rng=rngs[0], dropout_rate=cfg.attention_dropout,
-        deterministic=deterministic)
+        deterministic=deterministic, attn_impl=attn_impl, causal=True)
     attn_out = layers.dropout(rngs[1], attn_out, cfg.hidden_dropout, deterministic)
     hidden = layers.layer_norm(lp["self_attn_layer_norm"], residual + attn_out,
                                eps=cfg.layer_norm_eps)
@@ -102,8 +107,9 @@ def _decoder_layer(
         lp["encoder_attn"], hidden, num_heads=cfg.decoder_attention_heads,
         key_value_states=encoder_hidden, attention_bias=cross_bias,
         static_kv=cross_kv,
+        kv_valid_len=enc_valid_len,
         dropout_rng=rngs[2], dropout_rate=cfg.attention_dropout,
-        deterministic=deterministic)
+        deterministic=deterministic, attn_impl=attn_impl)
     cross_out = layers.dropout(rngs[3], cross_out, cfg.hidden_dropout, deterministic)
     hidden = layers.layer_norm(lp["encoder_attn_layer_norm"], residual + cross_out,
                                eps=cfg.layer_norm_eps)
@@ -131,6 +137,7 @@ def decoder(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     cross_caches: Optional[Dict] = None,
+    attn_impl: str = "dense",
 ) -> Tuple[jnp.ndarray, Optional[Dict]]:
     """Run the decoder stack.
 
@@ -138,13 +145,37 @@ def decoder(
     Incremental mode: ``hidden_states`` is the current step(s), ``kv_caches``
     holds fixed-shape per-layer KV, ``cache_index`` the write offset.
     Returns (hidden, updated kv_caches or None).
+
+    ``attn_impl="flash"`` (full-sequence mode only) routes BOTH decoder
+    attentions through the Pallas kernels: causal-in-kernel self-attention
+    and length-masked cross-attention — no [B, H, L, L] / [B, H, L, T]
+    score tensors, which is what makes conversation-window training
+    (long label sequences x 8k encoder frames) fit in HBM.
     """
     b, t, _ = hidden_states.shape
 
+    use_flash = attn_impl == "flash" and kv_caches is None
+    if use_flash and not deterministic and cfg.attention_dropout > 0.0:
+        # flash has no attention-prob dropout; a silent dense fallback
+        # here would drop causality (self_bias is not built) — refuse
+        # loudly, mirroring models/gpt2.  make_asr_train_step zeroes
+        # attention_dropout for non-dense impls before reaching this.
+        raise ValueError(
+            f"decoder attn_impl='flash' drops attention-prob dropout "
+            f"(attention_dropout={cfg.attention_dropout}); train with "
+            f"attention_dropout=0.0 or attn_impl='dense'")
+
+    enc_valid_len = None
     if kv_caches is None:
-        self_bias = attention.causal_attention_bias(t, t)
-        if attention_mask is not None:
-            self_bias = self_bias + attention.padding_attention_bias(attention_mask)
+        if use_flash:
+            # causality lives in the kernel; right-padded label rows are
+            # inert under causality and masked by the loss
+            self_bias = None
+        else:
+            self_bias = attention.causal_attention_bias(t, t)
+            if attention_mask is not None:
+                self_bias = self_bias + attention.padding_attention_bias(
+                    attention_mask)
     else:
         k_len = kv_caches["0"]["k"].shape[2]
         pos = jnp.arange(k_len)
@@ -163,7 +194,12 @@ def decoder(
 
     cross_bias = None
     if encoder_attention_mask is not None:
-        cross_bias = attention.padding_attention_bias(encoder_attention_mask)
+        if use_flash:
+            enc_valid_len = jnp.sum(
+                encoder_attention_mask.astype(jnp.int32), axis=-1)
+        else:
+            cross_bias = attention.padding_attention_bias(
+                encoder_attention_mask)
 
     hidden = hidden_states
     new_caches = {} if kv_caches is not None else None
@@ -176,7 +212,9 @@ def decoder(
             lp, cfg, hidden, encoder_hidden_states, self_bias, cross_bias,
             cache_i, cache_index, rngs[i], deterministic,
             cross_kv=(cross_caches[str(i)] if cross_caches is not None
-                      else None))
+                      else None),
+            attn_impl=(attn_impl if use_flash else "dense"),
+            enc_valid_len=enc_valid_len)
         if new_caches is not None:
             new_caches[str(i)] = upd
     return hidden, new_caches

@@ -67,7 +67,7 @@ def encode_speech(
     attention_mask: Optional[jnp.ndarray] = None, *,
     deterministic: bool = True, rng: Optional[jax.Array] = None,
     remat: bool = False, attn_impl: str = "dense",
-    ring: Optional[tuple] = None,
+    ring: Optional[tuple] = None, unroll_layers=False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Raw waveform [B, T] -> ([B, frames, H], frame mask).
 
@@ -85,7 +85,8 @@ def encode_speech(
     hidden = constrain_batch(hidden)
     hidden = enc.encoder(params["encoder"]["wrapped_encoder"], cfg, hidden, mask,
                          deterministic=deterministic, dropout_rng=r2,
-                         remat=remat, attn_impl=attn_impl, ring=ring)
+                         remat=remat, attn_impl=attn_impl, ring=ring,
+                         unroll=unroll_layers)
     return constrain_batch(hidden), mask
 
 
@@ -114,7 +115,7 @@ def asr_forward(
     decoder_attention_mask: Optional[jnp.ndarray] = None,
     *, deterministic: bool = True, rng: Optional[jax.Array] = None,
     remat: bool = False, attn_impl: str = "dense",
-    ring: Optional[tuple] = None,
+    ring: Optional[tuple] = None, unroll_layers=False,
 ) -> jnp.ndarray:
     """Teacher-forced ASR forward -> vocab logits [B, L, V]."""
     r1 = r2 = r3 = None
@@ -124,7 +125,8 @@ def asr_forward(
                                              attention_mask,
                                              deterministic=deterministic, rng=r1,
                                              remat=remat, attn_impl=attn_impl,
-                                             ring=ring)
+                                             ring=ring,
+                                             unroll_layers=unroll_layers)
     # Boundary activation-sharding constraints (no-ops outside a sharded
     # step's ops.act_sharding.activation_mesh context): pin the megatron
     # batch-sharded layout between prenet, decoder, and postnet
@@ -133,11 +135,16 @@ def asr_forward(
                                          decoder_input_ids)
     dec_in = layers.dropout(r2, dec_in, cfg.positional_dropout, deterministic)
     dec_in = constrain_batch(dec_in)
+    # flash routes BOTH decoder attentions through the Pallas kernels
+    # (conversation-window training: no [B,H,L,L]/[B,H,L,T] scores);
+    # ring/ulysses shard ENCODER frames — the decoder stays dense there
     hidden, _ = dec.decoder(params["decoder"]["wrapped_decoder"], cfg, dec_in,
                             encoder_hidden,
                             attention_mask=decoder_attention_mask,
                             encoder_attention_mask=enc_mask,
-                            deterministic=deterministic, dropout_rng=r3)
+                            deterministic=deterministic, dropout_rng=r3,
+                            attn_impl=("flash" if attn_impl == "flash"
+                                       else "dense"))
     hidden = constrain_batch(hidden)
     return prenets.text_decoder_postnet(params["text_decoder_postnet"], hidden)
 
@@ -184,7 +191,7 @@ def asr_loss(
     labels: jnp.ndarray, *, label_pad_id: int = -100,
     deterministic: bool = False, rng: Optional[jax.Array] = None,
     remat: bool = False, attn_impl: str = "dense",
-    ring: Optional[tuple] = None,
+    ring: Optional[tuple] = None, unroll_layers=False,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Cross-entropy seq2seq loss with HF shift-right convention
     (decoder inputs = [start, labels[:-1]])."""
@@ -194,7 +201,8 @@ def asr_loss(
     logits = asr_forward(params, cfg, input_values, shifted,
                          attention_mask=attention_mask,
                          deterministic=deterministic, rng=rng, remat=remat,
-                         attn_impl=attn_impl, ring=ring)
+                         attn_impl=attn_impl, ring=ring,
+                         unroll_layers=unroll_layers)
     valid = (labels != label_pad_id)
     tgt = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -63,8 +63,13 @@ def multi_head_attention(
     deterministic: bool = True,
     attn_impl: str = "dense",
     ring: Optional[tuple] = None,
+    causal: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Scaled dot-product MHA.
+
+    ``causal`` marks the attention as causal for the FLASH path (the
+    kernel applies the triangle itself — no O(T^2) bias tensor); the
+    dense path keeps expressing causality through ``attention_bias``.
 
     Args:
       hidden_states: [B, Tq, D] queries source.
@@ -152,14 +157,19 @@ def multi_head_attention(
         return out, new_cache
 
     use_flash = (attn_impl == "flash" and kv_cache is None
-                 and key_value_states is None
+                 and static_kv is None
                  and (deterministic or dropout_rate == 0.0))
     if use_flash:  # attention-prob dropout requires the dense path
         # q is already pre-scaled (HF contract: scale applies to both the
         # content and rel terms), so the kernel runs with scale=1.
+        # Covers self-attention (encoder: rel_pe + kv_valid_len; decoder:
+        # causal=True) AND cross-attention (key_value_states set, decoder
+        # -> encoder, kv_valid_len = encoder lengths) — the decoder's
+        # dense [B, H, L, T] cross scores are what OOM conversation-window
+        # training (164 s windows: 750 MB f32 per layer).
         from .pallas import flash_attention
 
-        out = flash_attention(q, k, v, causal=False, scale=1.0,
+        out = flash_attention(q, k, v, causal=causal, scale=1.0,
                               rel_pe=rel_pe, kv_valid_len=kv_valid_len)
         out = _merge_heads(out)
         out = layers.dense(params["out_proj"], out)

@@ -49,9 +49,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                  # [Bq, D]
-        k = k_ref[0].astype(jnp.float32)                  # [Bk, D]
-        v = v_ref[0].astype(jnp.float32)                  # [Bk, D]
+        # MXU operands ride the INPUT dtype (bf16 callers — mixed-precision
+        # training — get full-rate bf16 MXU passes; f32 callers keep f32
+        # numerics); accumulation and the online softmax stay f32
+        # (measured: bf16 operands at [8,12,1024,64] halve the kernel
+        # time again on top of the 512x512 block bump, docs/BENCH.md r4)
+        q = q_ref[0]                                      # [Bq, D]
+        k = k_ref[0]                                      # [Bk, D]
+        v = v_ref[0]                                      # [Bk, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if causal:
@@ -62,11 +67,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
 
         m_prev = m_scr[:, 0:1]                            # [Bq, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)                            # [Bq, Bk]
+        p = jnp.exp(s - m_new)                            # [Bq, Bk] f32
         alpha = jnp.exp(m_prev - m_new)                   # [Bq, 1]
         l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
@@ -160,9 +166,13 @@ def _flash_backward(q, k, v, out, lse, g, *, causal, scale, block_k):
     tk_p = k.shape[2]
     num_k = tk_p // block_k
 
-    qf = q.astype(jnp.float32)
+    # MXU operands ride the input dtype (bf16 callers get bf16 passes);
+    # softmax recompute, ds, and every accumulation stay f32 — for f32
+    # inputs the casts are no-ops and the math is bit-identical
+    dt = q.dtype
     gf = g.astype(jnp.float32)
     delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)       # [B,H,Tq]
+    g_dt = g.astype(dt)
     q_pos = jnp.arange(tq)
 
     k_blocks = k.reshape(b, h, num_k, block_k, d).transpose(2, 0, 1, 3, 4)
@@ -171,7 +181,7 @@ def _flash_backward(q, k, v, out, lse, g, *, causal, scale, block_k):
     def body(dq_acc, inputs):
         j, k_j, v_j = inputs
         k_pos = j * block_k + jnp.arange(block_k)
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_j.astype(jnp.float32),
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_j,
                        preferred_element_type=jnp.float32) * scale
         if causal:
             mask = k_pos[None, :] <= q_pos[:, None]
@@ -179,16 +189,21 @@ def _flash_backward(q, k, v, out, lse, g, *, causal, scale, block_k):
         else:
             s = jnp.where((k_pos < tk)[None, None, None, :], s, NEG_INF)
         p = jnp.exp(s - lse[..., None])                          # [B,H,Tq,Bk]
-        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v_j.astype(jnp.float32))
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p.astype(dt), g_dt,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g_dt, v_j,
+                        preferred_element_type=jnp.float32)
         ds = p * (dp - delta[..., None])
-        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds,
-                                     k_j.astype(jnp.float32)) * scale
-        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds.astype(dt), k_j,
+                                     preferred_element_type=jnp.float32) \
+            * scale
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds.astype(dt), q,
+                          preferred_element_type=jnp.float32) * scale
         return dq_acc, (dk_j, dv_j)
 
     dq, (dk_blocks, dv_blocks) = jax.lax.scan(
-        body, jnp.zeros_like(qf), (jnp.arange(num_k), k_blocks, v_blocks))
+        body, jnp.zeros((b, h, tq, d), jnp.float32),
+        (jnp.arange(num_k), k_blocks, v_blocks))
     dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, tk_p, d)[:, :, :tk]
     dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, tk_p, d)[:, :, :tk]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
@@ -282,9 +297,11 @@ def _flash_rel_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                  # [Bq, D]
-        k = k_ref[0].astype(jnp.float32)                  # [Bk, D]
-        v = v_ref[0].astype(jnp.float32)                  # [Bk, D]
+        # native-dtype MXU operands (bf16 callers get bf16 passes);
+        # softmax/accumulators stay f32 — see _flash_kernel
+        q = q_ref[0]                                      # [Bq, D]
+        k = k_ref[0]                                      # [Bk, D]
+        v = v_ref[0]                                      # [Bk, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
@@ -318,7 +335,8 @@ def _flash_rel_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, o_ref, lse_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
@@ -554,10 +572,11 @@ def _rel_bwd_dq_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        qf = q_ref[0].astype(jnp.float32)
-        kf = k_ref[0].astype(jnp.float32)
-        vf = v_ref[0].astype(jnp.float32)
-        gf = g_ref[0].astype(jnp.float32)
+        # native-dtype MXU operands, f32 accumulation (see _flash_kernel)
+        qf = q_ref[0]
+        kf = k_ref[0]
+        vf = v_ref[0]
+        gf = g_ref[0]
         s = jax.lax.dot_general(qf, kf, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
@@ -589,7 +608,7 @@ def _rel_bwd_dq_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, lse_ref,
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0][:, 0:1])
         dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
-            ds, kf, (((1,), (0,)), ((), ())),
+            ds.astype(kf.dtype), kf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
         # dqpe: raw accumulation — valid because block_k == wp (see header)
@@ -644,13 +663,15 @@ def _rel_bwd_dkv_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, lse_ref,
 
     @pl.when(run)
     def _compute():
-        qf = q_ref[0].astype(jnp.float32)
-        kf = k_ref[0].astype(jnp.float32)
-        vf = v_ref[0].astype(jnp.float32)
-        gf = g_ref[0].astype(jnp.float32)
+        # native-dtype MXU operands, f32 accumulation (see _flash_kernel)
+        qf = q_ref[0]
+        kf = k_ref[0]
+        vf = v_ref[0]
+        gf = g_ref[0]
         # sheared qpe for THIS q block (rebuilt per grid step — qi is the
-        # innermost axis here, so there is no q-block to amortize over)
-        yq = jax.lax.dot_general(qf * scale,
+        # innermost axis here, so there is no q-block to amortize over);
+        # the qpe table matmul stays f32 (tiny, feeds the f32 rel band)
+        yq = jax.lax.dot_general(qf.astype(jnp.float32) * scale,
                                  prev_ref[...].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -689,10 +710,10 @@ def _rel_bwd_dkv_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, lse_ref,
         ds = p * (dp - delta_ref[0][:, 0:1])
         # contract over the q rows (dim 0 of both operands)
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-            p, gf, (((0,), (0,)), ((), ())),
+            p.astype(gf.dtype), gf, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-            ds, qf, (((0,), (0,)), ((), ())),
+            ds.astype(qf.dtype), qf, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
     @pl.when(qi == num_q_blocks - 1)
@@ -885,21 +906,22 @@ def flash_attention(
     kv_valid_len: optional [B] int32 valid key count per batch row; keys at
       or beyond it are masked (variable-length/non-causal batches).  Without
       it, non-causal padding requires Tk % block_k == 0 on the plain path.
-    block_q/block_k: block sizes; None picks measured defaults — 256x256
-      for the plain kernel (v5e sweep at [8,12,1024,64]: 256x256 runs
-      9x faster than 128x128 and 4.7x faster than the dense causal
-      chain — docs/BENCH.md round-3) and, for the rel/masked kernel,
-      128 x single-k-block-up-to-1024 (short sequences skip the
-      streaming-softmax renormalization entirely and run as one fused
-      VMEM-resident pass).
+    block_q/block_k: block sizes; None picks measured defaults — 512x512
+      for the plain kernel (v5e sweep at [8,12,1024,64], round-4:
+      512x512 = 0.50 ms vs 256x256 = 1.38 ms vs dense chain = 1.77 ms
+      — the bigger tiles amortize the per-block online-softmax VPU work
+      and grid overhead; docs/BENCH.md round-4 decomposition) and, for
+      the rel/masked kernel, 128 x single-k-block-up-to-1024 (short
+      sequences skip the streaming-softmax renormalization entirely and
+      run as one fused VMEM-resident pass).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     if rel_pe is None and kv_valid_len is None:
         return _flash_attention(q, k, v, causal, scale,
-                                block_q if block_q is not None else 256,
-                                block_k if block_k is not None else 256,
+                                block_q if block_q is not None else 512,
+                                block_k if block_k is not None else 512,
                                 interpret)
     if block_q is None:
         block_q = 128

@@ -283,9 +283,17 @@ def make_asr_train_step(
     freeze_feature_encoder: bool = False,
     compute_dtype=None,
     grad_accum: int = 1,
+    unroll_layers=True,
 ) -> Callable:
     """Returns jit'd step(params, opt_state, batch, rng) -> (params,
     opt_state, metrics); fully sharded (params: FSDP/TP, batch: DP).
+
+    ``unroll_layers`` (default True): unroll the encoder's layer scan
+    into straight-line XLA — measured −11% on the B=16 x 5 s step
+    (65.4 -> 58.0 ms; inter-layer fusion, no stacked-residual
+    dynamic-update-slices) at the cost of compile time.  Set False to
+    keep the compact scan (e.g. exotic layer counts without a warm
+    compilation cache).
 
     ``grad_accum``: split the batch into this many microbatches and
     accumulate sum-form gradients (_accum_value_and_grad) — exact
@@ -347,7 +355,7 @@ def make_asr_train_step(
             loss, aux = st5.asr_loss(
                 params, cfg, batch["input_values"], batch["attention_mask"],
                 batch["labels"], deterministic=False, rng=rng, remat=remat,
-                attn_impl=attn_impl, ring=ring)
+                attn_impl=attn_impl, ring=ring, unroll_layers=unroll_layers)
         return loss, aux
 
     def step(params, opt_state, batch, rng):

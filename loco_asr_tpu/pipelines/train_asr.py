@@ -102,6 +102,10 @@ def parse_args(argv=None):
                    help="freeze the conv feature extractor (the HF "
                         "fine-tuning convention for wav2vec2-family "
                         "models; also skips its backward pass entirely)")
+    p.add_argument("--no_unroll_layers", action="store_true",
+                   help="keep the encoder's compact layer scan instead of "
+                        "unrolling it (unrolled is -11%% step time but "
+                        "compiles slower; see parallel/train.py)")
     p.add_argument("--rng_impl", default="rbg",
                    choices=["threefry", "rbg", "unsafe_rbg"],
                    help="PRNG for dropout masks: 'rbg' uses the TPU "
@@ -183,7 +187,8 @@ def main(argv=None) -> int:
         freeze_feature_encoder=args.freeze_feature_encoder,
         compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
                        else None),
-        grad_accum=args.grad_accum)
+        grad_accum=args.grad_accum,
+        unroll_layers=not args.no_unroll_layers)
 
     ckpt = Checkpointer(os.path.join(args.out_dir, "ckpt"))
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))

@@ -73,6 +73,13 @@ def aggregate_trace(trace_dir: str, steps: int, top: int = 25) -> None:
         if device_pids and e.get("pid") not in device_pids:
             continue
         name = e.get("name", "?")
+        args_ = e.get("args") or {}
+        # HLO metadata when present: long_name carries the source op
+        # (e.g. "transpose ... fusion metadata={op_name=...}") — far more
+        # attributable than the bare fusion.NNNN id
+        long = args_.get("long_name") or args_.get("hlo_op") or ""
+        if long:
+            name = f"{name} :: {long}"
         tot[name] += e.get("dur", 0.0)
         cnt[name] += 1
     rows = sorted(tot.items(), key=lambda kv: -kv[1])[:top]
@@ -82,7 +89,7 @@ def aggregate_trace(trace_dir: str, steps: int, top: int = 25) -> None:
     print(f"{'us/step':>10} {'count':>6} {'pct':>6}  name")
     for name, us in rows:
         print(f"{us/steps:10.1f} {cnt[name]:6d} {100*us/total:5.1f}%  "
-              f"{name[:90]}")
+              f"{name[:160]}")
 
 
 def main(argv=None):
@@ -95,8 +102,15 @@ def main(argv=None):
     p.add_argument("--stages", default=None,
                    help="comma list to run a subset (fwd,fwd_bwd,"
                         "fwd_bwd_freeze,full,full_freeze,prenet_bwd,"
-                        "trunk_bwd)")
+                        "trunk_bwd); empty string = trace only")
+    p.add_argument("--rng_impl", default="threefry",
+                   choices=["threefry", "rbg", "unsafe_rbg"],
+                   help="dropout PRNG (trainers default to rbg; threefry "
+                        "keeps historical profile rows comparable)")
     args = p.parse_args(argv)
+
+    from loco_asr_tpu.pipelines.common import setup_rng_impl
+    setup_rng_impl(args.rng_impl)
 
     import jax
     import jax.numpy as jnp
@@ -200,7 +214,8 @@ def main(argv=None):
             trunk_bwd, params["encoder"]["wrapped_encoder"], hidden, hmask,
             iters=args.iters),
     }
-    wanted = (args.stages.split(",") if args.stages else list(stages))
+    wanted = ([s for s in args.stages.split(",") if s]
+              if args.stages is not None else list(stages))
     res = {}
     print(f"batch={args.batch} seconds={args.seconds} "
           f"labels={args.label_len} backend={jax.default_backend()}")

@@ -118,6 +118,57 @@ def test_asr_train_step_rejects_dropout_silently_lost():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_asr_flash_decoder_ragged_labels_matches_dense(asr_setup):
+    """Decoder flash routing (causal-in-kernel self-attn + length-masked
+    cross-attn) with RAGGED label padding: loss and grads must match the
+    dense decoder — right-padded label rows are inert under causality and
+    masked by the loss."""
+    cfg, params, _ = asr_setup
+    rng = np.random.default_rng(3)
+    labels = np.asarray(rng.integers(3, cfg.vocab_size, (2, 9)), np.int64)
+    labels[0, 5:] = -100            # ragged: row 0 has 5 valid labels
+    batch = {
+        "input_values": jnp.asarray(
+            rng.standard_normal((2, 1600)).astype(np.float32) * 0.1),
+        "attention_mask": jnp.asarray(
+            np.concatenate([np.ones((2, 1200), np.int32),
+                            np.asarray([[1] * 400, [0] * 400], np.int32)],
+                           axis=1)),
+        "labels": jnp.asarray(labels),
+    }
+
+    def loss(impl):
+        def f(p):
+            return st5.asr_loss(p, cfg, batch["input_values"],
+                                batch["attention_mask"], batch["labels"],
+                                deterministic=True, attn_impl=impl)[0]
+        return jax.value_and_grad(f)(params)
+
+    l_d, g_d = loss("dense")
+    l_f, g_f = loss("flash")
+    np.testing.assert_allclose(float(l_f), float(l_d), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_decoder_refuses_flash_with_attention_dropout(asr_setup):
+    """decoder attn_impl='flash' + live attention-prob dropout must raise
+    (a silent dense fallback would drop causality)."""
+    from loco_asr_tpu.models.speecht5 import decoder as dec_mod
+
+    cfg, params, _ = asr_setup
+    cfg2 = dataclasses.replace(cfg, attention_dropout=0.1)
+    hidden = jnp.zeros((1, 4, cfg.hidden_size))
+    enc_h = jnp.zeros((1, 6, cfg.hidden_size))
+    with pytest.raises(ValueError, match="attention-prob dropout"):
+        dec_mod.decoder(params["decoder"]["wrapped_decoder"], cfg2, hidden,
+                        enc_h, deterministic=False,
+                        dropout_rng=jax.random.PRNGKey(0),
+                        attn_impl="flash")
+
+
 def test_lm_train_step_warns_on_zeroed_attn_dropout():
     """make_lm_train_step under attn_impl != dense with attn_pdrop > 0
     must WARN that attention-prob dropout is zeroed (the CLI user would
