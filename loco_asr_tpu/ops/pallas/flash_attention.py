@@ -924,7 +924,9 @@ def flash_attention(
                                 block_k if block_k is not None else 512,
                                 interpret)
     if block_q is None:
-        block_q = 128
+        # 256 measured -16% vs 128 at [1,12,8199,64] (round-4 sweep);
+        # 512 with a 1024-wide k block exceeds the 16 MB scoped VMEM
+        block_q = 256
     if block_k is None:
         block_k = min(_round_up(k.shape[2], _LANES), 1024)
     b = q.shape[0]
