@@ -211,10 +211,14 @@ def main(argv=None) -> int:
         from ..data.asr_dataset import ConversationAsrDataset
 
         # window audio replaces the per-utterance cap; labels scale with
-        # the window (~16 tokens/s of speech for the char tokenizer)
+        # the window (~16 tokens/s of speech for the char tokenizer), and
+        # so does the eval decode budget (100 tokens would truncate every
+        # window hypothesis and inflate deletion WER)
         args.max_seconds = args.conversation_seconds
         if args.max_label_len is None:
             args.max_label_len = max(128, int(16 * args.conversation_seconds))
+        if args.decode_max_len == 100:   # the per-utterance default
+            args.decode_max_len = args.max_label_len
         train_ds = ConversationAsrDataset(
             args.train_dir, window_seconds=args.conversation_seconds)
         dev_ds = (ConversationAsrDataset(
@@ -250,10 +254,14 @@ def main(argv=None) -> int:
         # are what ops/act_sharding.py guards against (decode included —
         # asr_decode_step pins its own seams under the context)
         axes = (AXES.data, AXES.fsdp)
+        # conversation-scale eval cannot run the dense encoder/loss
+        # (dense attention OOMs past ~8k frames); any non-dense training
+        # impl evals through flash (same numbers, single-chip)
+        eval_impl = "dense" if args.attn_impl == "dense" else "flash"
 
         def _enc(p, w, m):
             with activation_mesh(mesh, batch_axes=axes):
-                return st5.encode_speech(p, cfg, w, m)
+                return st5.encode_speech(p, cfg, w, m, attn_impl=eval_impl)
 
         def _dec(p, e, m):
             with activation_mesh(mesh, batch_axes=axes):
@@ -271,7 +279,8 @@ def main(argv=None) -> int:
             loss, aux = st5.asr_loss(
                 params, cfg, jnp.asarray(batch["input_values"]),
                 jnp.asarray(batch["attention_mask"]),
-                jnp.asarray(batch["labels"]), deterministic=True)
+                jnp.asarray(batch["labels"]), deterministic=True,
+                attn_impl=eval_impl)
             losses += float(aux["nll_sum"])
             ntok += int(aux["ntokens"])
             enc, msk = enc_fn(params, jnp.asarray(batch["input_values"]),

@@ -596,6 +596,22 @@ def bench_conversations(n_convs: int, utts_per_conv: int, slots: int,
     print(f"conversations {n_convs}x{utts_per_conv} (slots {slots}, "
           f"max_len {max_len}): sequential {t_seq:.2f}s, batched "
           f"{t_batch:.2f}s ({t_seq/t_batch:.2f}x, RTFx {audio_s/t_batch:,.0f})")
+
+    # BEAM x carry-over (BASELINE configs 4+5 combined): K beams per
+    # conversation slot, best-hypothesis LM state carried forward
+    k = 4
+    decode_conversations(params, cfg, convs, fusion=fusion, slots=slots,
+                         max_len=max_len, beam_size=k, audio_samples=bucket,
+                         encode_fn=enc_fn, decode_reserve=reserve)
+    t0 = time.perf_counter()
+    decode_conversations(params, cfg, convs, fusion=fusion, slots=slots,
+                         max_len=max_len, beam_size=k, audio_samples=bucket,
+                         encode_fn=enc_fn, decode_reserve=reserve)
+    t_beam = time.perf_counter() - t0
+    rows["conv_beam_wall_s"] = t_beam
+    rows["conv_beam_rtfx"] = audio_s / t_beam
+    print(f"conversations beam{k}+fusion+carry-over: {t_beam:.2f}s "
+          f"(RTFx {audio_s/t_beam:,.0f}; {t_beam/t_batch:.2f}x greedy cost)")
     WWW.update(rows)
 
 

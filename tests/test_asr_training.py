@@ -139,16 +139,19 @@ def test_train_asr_conversation_windows(kaldi_dir, tmp_path, monkeypatch):
     from loco_asr_tpu.pipelines import train_asr
 
     monkeypatch.chdir(tmp_path)
+    # --dev_dir exercises the conversation eval path too (flash-impl
+    # encode + eval loss + greedy decode over windows)
     rc = train_asr.main([
-        "--train_dir", kaldi_dir, "--out_dir", "exp/conv", "--tiny",
-        "--steps", "2", "--batch_size", "2", "--eval_every", "100",
-        "--save_every", "2", "--mesh", "1,1,1",
+        "--train_dir", kaldi_dir, "--dev_dir", kaldi_dir,
+        "--out_dir", "exp/conv", "--tiny",
+        "--steps", "2", "--batch_size", "2", "--eval_every", "2",
+        "--save_every", "2", "--mesh", "1,1,1", "--eval_batches", "1",
         "--conversation_seconds", "2.5", "--attn_impl", "flash",
         "--warmup_steps", "1", "--decode_max_len", "4"])
     assert rc == 0
-    # (metrics.jsonl is only written every 50 steps / on eval — a 2-step
-    # no-dev run produces none; the checkpoint proves steps ran)
     assert os.path.exists("exp/conv/ckpt/status.json")
+    lines = open("exp/conv/metrics.jsonl").read().strip().splitlines()
+    assert any("dev_wer" in l for l in lines)
 
 
 @pytest.mark.slow
