@@ -98,12 +98,23 @@ def device_time_per_iter_state(step_fn: Callable, params, opt_state, batch,
     leaf of the FINAL params is summed into the returned scalar (the
     in-loop iterations consume each other's params by construction; only
     the last iteration's update is DCE-able, and the final sum pins it),
-    and a fresh ``salt`` argument per execution defeats the relay's
-    result cache (same rationale as device_time_per_iter).
+    a fresh ``salt`` argument per execution keeps calls unique, and each
+    timed call ends with a FRESH dependent dispatch (a reduce over a
+    returned param leaf) — the relay has been observed acking even the
+    scalar fetch of a donated call before execution finished, and worse,
+    returning EQUAL walls for different loop lengths when two donated
+    executables alternate (the round-4 gpt2-large row read 0.0 ms/step
+    under two-length differencing).  Repeated SAME-executable calls with
+    the dependent sync measure honestly (validated against throughput
+    physics), so this timer runs ONE loop length three times and takes
+    the median; the per-call relay RTT (~60 ms incl. the sync) is NOT
+    differenced away — an overestimate bounded by RTT/iters (~2% at
+    gpt2-large scale), the safe direction.
 
     Returns ``(seconds_per_iter, final_params, final_opt_state)`` — the
     caller's original params/opt_state buffers are donated away.
     """
+    del warmup_iters  # one warm call compiles; loop length is fixed
 
     def chained(n):
         def run(salt, p, o, b, key):
@@ -111,8 +122,7 @@ def device_time_per_iter_state(step_fn: Callable, params, opt_state, batch,
                 p, o, s = carry
                 np_, no_, m = step_fn(p, o, b, jax.random.fold_in(key, i))
                 # s (seeded from salt) mixes into the return so the jit
-                # output genuinely depends on the per-call salt — the
-                # relay result-cache defeat the docstring promises
+                # output genuinely depends on the per-call salt
                 return (np_, no_,
                         s * jnp.float32(1e-9)
                         + (m["loss"] + m["grad_norm"]).astype(jnp.float32))
@@ -124,20 +134,25 @@ def device_time_per_iter_state(step_fn: Callable, params, opt_state, batch,
             return p, o, s + tot * jnp.float32(1e-20)
         return jax.jit(run, donate_argnums=(1, 2))
 
-    lo, hi = chained(warmup_iters), chained(warmup_iters + iters)
-    params, opt_state, s = lo(jnp.float32(1.0), params, opt_state, batch, rng)
-    float(s)
-    params, opt_state, s = hi(jnp.float32(2.0), params, opt_state, batch, rng)
-    float(s)
-    t0 = time.perf_counter()
-    params, opt_state, s = lo(jnp.float32(3.0), params, opt_state, batch, rng)
-    float(s)
-    d_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    params, opt_state, s = hi(jnp.float32(4.0), params, opt_state, batch, rng)
-    float(s)
-    d_hi = time.perf_counter() - t0
-    return max((d_hi - d_lo) / iters, 1e-9), params, opt_state
+    def _sync(p, s):
+        float(s)
+        leaf = next(x for x in jax.tree_util.tree_leaves(p)
+                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
+        return float(jnp.sum(leaf))
+
+    runner = chained(iters)
+    params, opt_state, s = runner(jnp.float32(1.0), params, opt_state,
+                                  batch, rng)
+    _sync(params, s)                      # compile + warm
+    walls = []
+    for j in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, s = runner(jnp.float32(2.0 + j), params,
+                                      opt_state, batch, rng)
+        _sync(params, s)
+        walls.append(time.perf_counter() - t0)
+    per = sorted(walls)[1] / iters        # median of 3
+    return max(per, 1e-9), params, opt_state
 
 
 class StepTimer:
