@@ -154,6 +154,34 @@ def test_batches_separator_tokens_and_shapes(conv_kaldi_dir):
             assert tok.decode(first_seg) == " ".join(parts[:2])
 
 
+def test_segmentless_utterances_become_singleton_windows(tmp_path):
+    """Utterances without a segments entry (whole-recording utts) form
+    one-utterance windows and never merge with others."""
+    import wave as wave_mod
+
+    root = tmp_path / "k"
+    root.mkdir()
+    rng = np.random.default_rng(1)
+    for rec, secs in [("solo1", 1.0), ("solo2", 0.5)]:
+        pcm = (rng.standard_normal(int(SR * secs)) * 3000).astype(np.int16)
+        with wave_mod.open(str(root / f"{rec}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(SR)
+            w.writeframes(pcm.tobytes())
+    (root / "text").write_text("solo1 hello world\nsolo2 bye\n")
+    (root / "wav.scp").write_text(
+        f"solo1 {root}/solo1.wav\nsolo2 {root}/solo2.wav\n")
+    # no segments file at all
+    from loco_asr_tpu.data.asr_dataset import ConversationAsrDataset
+
+    ds = ConversationAsrDataset(str(root), window_seconds=1000.0)
+    assert len(ds) == 2
+    assert all(len(w.utt_ids) == 1 for w in ds.windows)
+    wav = ds.load_window_waveform(ds.windows[0])
+    assert len(wav) == SR  # the whole 1.0 s recording
+
+
 def test_eos_appended_after_truncation(conv_kaldi_dir):
     from loco_asr_tpu.data.asr_dataset import ConversationAsrDataset
     from loco_asr_tpu.data.tokenizer import CharTokenizer
