@@ -124,15 +124,24 @@ class KaldiAsrDataset:
             rng.shuffle(blocks)
             order = [i for b in blocks for i in b]
 
+        # reserve label slots for bos/eos BEFORE truncating so rows never
+        # exceed max_label_len (they previously could reach max_label_len+1
+        # with both set)
+        budget = max_label_len - (bos_id is not None) - (eos_id is not None)
         for i in range(0, len(order), batch_size):
             idx = order[i:i + batch_size]
             exs = [self.examples[j] for j in idx]
             wavs, labels, texts = [], [], []
+            trunc_samples = trunc_tokens = 0
             for ex in exs:
                 w = self.load_waveform(ex)
-                w = w[: int(max_seconds * self.target_sr)]
+                cap = int(max_seconds * self.target_sr)
+                trunc_samples += max(len(w) - cap, 0)
+                w = w[:cap]
                 wavs.append(w)
-                ids = list(tokenizer(ex.text)["input_ids"])[: max_label_len - 1]
+                ids = list(tokenizer(ex.text)["input_ids"])
+                trunc_tokens += max(len(ids) - budget, 0)
+                ids = ids[:budget]
                 if bos_id is not None:
                     ids.insert(0, bos_id)
                 if eos_id is not None:
@@ -152,7 +161,10 @@ class KaldiAsrDataset:
                 mask[j, :len(w)] = 1
                 y[j, :len(l)] = l
             yield {"input_values": x, "attention_mask": mask, "labels": y,
-                   "utt_ids": [e.utt_id for e in exs], "texts": texts}
+                   "utt_ids": [e.utt_id for e in exs], "texts": texts,
+                   "truncation": {"samples": trunc_samples,
+                                  "label_tokens": trunc_tokens,
+                                  "utterances": 0}}
 
 
 @dataclass
@@ -245,7 +257,8 @@ class ConversationAsrDataset(KaldiAsrDataset):
     def __len__(self) -> int:
         return len(self.windows)
 
-    def load_window_waveform(self, win: ConversationWindow) -> np.ndarray:
+    def load_window_parts(self, win: ConversationWindow) -> List[np.ndarray]:
+        """Per-utterance audio crops of a window, in chronological order."""
         wav = self._load_recording(win.reco_id)
         parts = []
         for start, end in win.segs:
@@ -254,6 +267,11 @@ class ConversationAsrDataset(KaldiAsrDataset):
                                  int(end * self.target_sr)])
             else:
                 parts.append(wav)
+        return parts
+
+    def load_window_waveform(self, win: ConversationWindow) -> np.ndarray:
+        parts = self.load_window_parts(win)
+        wav = self._load_recording(win.reco_id)
         return np.concatenate(parts) if parts else wav[:0]
 
     def batches(
@@ -285,25 +303,57 @@ class ConversationAsrDataset(KaldiAsrDataset):
             rng.shuffle(blocks)
             order = [i for b in blocks for i in b]
 
+        # reserve bos/eos slots before truncation (rows never exceed
+        # max_label_len); audio/label caps crop at UTTERANCE boundaries so
+        # labels never cover speech the audio crop removed — every loss is
+        # counted and surfaced in the yielded "truncation" entry
+        budget = max_label_len - (bos_id is not None) - (eos_id is not None)
+        cap = int(max_seconds * self.target_sr)
         for i in range(0, len(order), batch_size):
             wins = [self.windows[j] for j in order[i:i + batch_size]]
             wavs, labels, texts = [], [], []
+            trunc_samples = trunc_tokens = trunc_utts = 0
             for win in wins:
-                w = self.load_window_waveform(win)
-                w = w[: int(max_seconds * self.target_sr)]
+                parts = self.load_window_parts(win)
+                kept_parts: List[np.ndarray] = []
+                kept_texts: List[str] = []
+                total = 0
+                for k, (part, utt_text) in enumerate(zip(parts, win.texts)):
+                    if not kept_parts and len(part) > cap:
+                        # a single utterance longer than the whole cap
+                        # (e.g. a segment-less whole-recording window):
+                        # crop its audio mid-utterance — unavoidable; the
+                        # samples counter makes the cut observable
+                        trunc_samples += len(part) - cap
+                        kept_parts.append(part[:cap])
+                        kept_texts.append(utt_text)
+                        total = cap
+                    elif total + len(part) <= cap:
+                        kept_parts.append(part)
+                        kept_texts.append(utt_text)
+                        total += len(part)
+                    else:
+                        # crop at the utterance boundary: later utterances
+                        # lose audio AND text together (chronology stays
+                        # contiguous)
+                        trunc_utts += len(parts) - k
+                        break
+                w = (np.concatenate(kept_parts) if kept_parts
+                     else np.zeros(0, np.float32))
                 wavs.append(w)
                 ids: List[int] = []
-                for t in win.texts:
+                for t in kept_texts:
                     ids.extend(tokenizer(t)["input_ids"])
                     if sep_id is not None:
                         ids.append(sep_id)
-                ids = ids[: max_label_len - 1]
+                trunc_tokens += max(len(ids) - budget, 0)
+                ids = ids[:budget]
                 if bos_id is not None:
                     ids.insert(0, bos_id)
                 if eos_id is not None and (not ids or ids[-1] != eos_id):
                     ids.append(eos_id)
                 labels.append(ids)
-                texts.append(win.text)
+                texts.append(" ".join(kept_texts))
             if not wavs:
                 continue
             t = max(max(len(w) for w in wavs), 1)
@@ -317,4 +367,7 @@ class ConversationAsrDataset(KaldiAsrDataset):
                 mask[j, :len(w)] = 1
                 y[j, :len(l)] = l
             yield {"input_values": x, "attention_mask": mask, "labels": y,
-                   "utt_ids": [w.window_id for w in wins], "texts": texts}
+                   "utt_ids": [w.window_id for w in wins], "texts": texts,
+                   "truncation": {"samples": trunc_samples,
+                                  "label_tokens": trunc_tokens,
+                                  "utterances": trunc_utts}}

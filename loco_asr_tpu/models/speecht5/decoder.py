@@ -151,6 +151,15 @@ def decoder(
     and length-masked cross-attention — no [B, H, L, L] / [B, H, L, T]
     score tensors, which is what makes conversation-window training
     (long label sequences x 8k encoder frames) fit in HBM.
+
+    API CONSTRAINT under flash: a caller-supplied decoder
+    ``attention_mask`` must describe RIGHT-padding only.  The kernel
+    handles causality internally and builds no self-attention bias, so
+    right-padded rows are inert (their garbage outputs fall to the loss
+    mask) but any other mask semantics — packed sequences, left padding,
+    holes — would be silently dropped.  Every in-repo label pipeline is
+    right-padded (data/asr_dataset.py); a packed/left-padded caller must
+    use ``attn_impl="dense"``.
     """
     b, t, _ = hidden_states.shape
 

@@ -99,6 +99,13 @@ def validate_spec(spec: P, shape: Tuple[int, ...],
     out: List = []
     dropped: List[Tuple] = []
     for i, s in enumerate(spec):
+        if s is not None and i >= len(shape):
+            # a rule naming a dim the array doesn't have is a mistyped
+            # rule, not a divisibility accident — keep it loud
+            logger.warning(
+                "partition rule ignored: %s spec entry %r at dim %d but "
+                "array rank is %d", path or "<param>", s, i, len(shape))
+            continue
         if s is None or i >= len(shape):
             out.append(None)
             continue
@@ -127,7 +134,12 @@ def validate_spec(spec: P, shape: Tuple[int, ...],
             csize = int(np.prod([axis_sizes[n] for n in combined]))
             if shape[j] % csize == 0:
                 out[j] = combined if len(combined) > 1 else combined[0]
-                logger.info(
+                # at real scale a relocation means the RULE's layout isn't
+                # what runs (collectives/layouts differ) — warn for big
+                # params, stay quiet for toy test shapes
+                level = (logger.warning if int(np.prod(shape)) >= 1 << 20
+                         else logger.info)
+                level(
                     "partition rule relocated: %s mesh axis %r moved from "
                     "dim %d (size %d, indivisible) to dim %d (size %d)",
                     path or "<param>", names, i, shape[i], j, shape[j])

@@ -165,6 +165,20 @@ def main(argv=None) -> int:
     if args.tokenizer == "char":
         tokenizer.vocab_size = cfg.vocab_size  # keep ids inside the model vocab
     params = load_gpt2_params(args.checkpoint, cfg)
+    if args.model == "tiny" and args.checkpoint is not None:
+        # follow the checkpoint's actual shapes so `train_lm --model tiny`
+        # checkpoints score without a vocab/position mismatch (train_lm
+        # pins vocab 256 for the char tokenizer; CharTokenizer's default
+        # vocab is 258, and ids past the embedding rows would clamp)
+        wte = params["wte"]["weight"]
+        wpe = params["wpe"]["weight"]
+        cfg = g.GPT2Config(**{**cfg.__dict__,
+                              "vocab_size": int(wte.shape[0]),
+                              "n_embd": int(wte.shape[1]),
+                              "n_positions": int(wpe.shape[0]),
+                              "n_layer": len(params["h"])})
+        if args.tokenizer == "char":
+            tokenizer.vocab_size = cfg.vocab_size
     if args.compute_dtype == "bfloat16":
         from ..utils.pytree import cast_floating
         params = cast_floating(params, jnp.bfloat16)

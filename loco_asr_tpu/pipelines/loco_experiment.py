@@ -1,0 +1,305 @@
+"""Run the LoCo context-gain experiment end-to-end — executable proof of
+the hypothesis the framework exists for.
+
+The reference's core experiment is the indep-vs-max_len PPL comparison
+(eval_ppl_with_pretrained_lm.py:67-73; the max_len machinery at :98-144
+has no other purpose): conversation-level context should make language
+modeling — and, by extension, ASR — better.  The real Fisher corpus
+cannot ship in this egress-free container, so this pipeline builds a
+synthetic conversation corpus where cross-utterance dependence is true by
+construction (data/synthetic_conversations.py: a per-conversation NAME,
+unpredictable within an utterance, a pure copy given history; dev names
+disjoint from train) and runs the experiment with the REAL pipelines:
+
+LM half:   make_lm_corpus -> train_lm (tiny GPT-2 on conversation
+           streams) -> eval_ppl --context_type {indep,max_len,streaming}
+           on held-out conversations -> PPL(max_len) < PPL(indep).
+ASR half:  make_asr_corpus (clean first mention, acoustically-degraded
+           repeats) -> train_asr --tiny -> train_lm on the transcripts ->
+           decode the dev conversations twice with the SAME fusion LM:
+           decode_conversations (carry-over) vs decode_continuous
+           (context reset per utterance) -> WER(carry) < WER(no-carry),
+           concentrated on the degraded utterances.
+
+Results land in {out_dir}/results.json; docs/LOCO_EXPERIMENT.md records a
+measured run.  tests/test_loco_experiment.py pins a tiny-scale version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="LoCo context-gain experiment (synthetic conversations)")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--stage", choices=["all", "lm", "asr"], default="all")
+    p.add_argument("--seed", type=int, default=0)
+    # LM half
+    p.add_argument("--lm_convs", type=int, default=200)
+    p.add_argument("--lm_dev_convs", type=int, default=40)
+    p.add_argument("--lm_utts", type=int, default=16)
+    p.add_argument("--lm_steps", type=int, default=1500)
+    p.add_argument("--lm_batch", type=int, default=16)
+    p.add_argument("--seq_len", type=int, default=256,
+                   help="LM train seq len = eval context window")
+    # ASR half
+    p.add_argument("--asr_convs", type=int, default=48)
+    p.add_argument("--asr_dev_convs", type=int, default=12)
+    p.add_argument("--asr_utts", type=int, default=8)
+    p.add_argument("--asr_steps", type=int, default=3000)
+    p.add_argument("--asr_batch", type=int, default=8)
+    p.add_argument("--asr_lm_steps", type=int, default=1200)
+    p.add_argument("--asr_lm_seq_len", type=int, default=192)
+    p.add_argument("--fusion_weight", type=float, default=1.0)
+    p.add_argument("--decode_max_len", type=int, default=40)
+    p.add_argument("--rng_impl", default=None,
+                   choices=[None, "threefry", "rbg", "unsafe_rbg"],
+                   help="forwarded to the trainers (default: their own)")
+    return p.parse_args(argv)
+
+
+def _mean_nll(out_dir: str) -> Tuple[float, float]:
+    """(overall token-mean NLL, avg per-recording PPL) from eval_ppl
+    artifacts."""
+    with open(os.path.join(out_dir, "rec_id2nlls.pkl"), "rb") as f:
+        rec_id2nlls = pickle.load(f)
+    flat = [x for nlls in rec_id2nlls.values() for utt in nlls for x in
+            (utt if isinstance(utt, list) else [utt])]
+    with open(os.path.join(out_dir, "rec_id2ppl.json")) as f:
+        rec_id2ppl = json.load(f)
+    return float(np.mean(flat)), float(np.mean(list(rec_id2ppl.values())))
+
+
+def run_lm_stage(args) -> Dict:
+    from ..data.synthetic_conversations import make_lm_corpus
+    from . import eval_ppl, train_lm
+
+    corpus = os.path.join(args.out_dir, "lm_corpus")
+    train_txt, dev_txt = make_lm_corpus(
+        corpus, n_train=args.lm_convs, n_dev=args.lm_dev_convs,
+        n_utts=args.lm_utts, seed=args.seed)
+    lm_dir = os.path.join(args.out_dir, "lm")
+    train_argv = [
+        "--train_file", train_txt, "--dev_file", dev_txt,
+        "--model", "tiny", "--tokenizer", "char",
+        "--seq_len", str(args.seq_len), "--batch_size", str(args.lm_batch),
+        "--steps", str(args.lm_steps), "--out_dir", lm_dir,
+        "--eval_every", str(max(args.lm_steps // 2, 1)),
+        "--save_every", str(args.lm_steps),
+        "--log_every", "100", "--seed", str(args.seed)]
+    if args.rng_impl:
+        train_argv += ["--rng_impl", args.rng_impl]
+    rc = train_lm.main(train_argv)
+    assert rc == 0, "train_lm failed"
+
+    results: Dict = {}
+    for ctx in ("indep", "max_len", "streaming"):
+        out = os.path.join(args.out_dir, f"ppl_{ctx}")
+        rc = eval_ppl.main([
+            "--in_file", dev_txt, "--out_dir", out,
+            "--model", "tiny", "--tokenizer", "char",
+            "--checkpoint", os.path.join(lm_dir, "ckpt"),
+            "--context_type", ctx, "--max_len", str(args.seq_len),
+            "--bsize", "32"])
+        assert rc == 0, f"eval_ppl {ctx} failed"
+        nll, rec_ppl = _mean_nll(out)
+        results[f"nll_{ctx}"] = nll
+        results[f"ppl_{ctx}"] = float(np.exp(nll))
+        results[f"avg_rec_ppl_{ctx}"] = rec_ppl
+    results["context_gain_nats"] = results["nll_indep"] - results["nll_max_len"]
+    results["ppl_ratio_indep_over_max_len"] = (
+        results["ppl_indep"] / results["ppl_max_len"])
+    print(f"LM: PPL indep {results['ppl_indep']:.2f} vs max_len "
+          f"{results['ppl_max_len']:.2f} vs streaming "
+          f"{results['ppl_streaming']:.2f} "
+          f"(context gain {results['context_gain_nats']:.3f} nats/token)",
+          file=sys.stderr)
+    return results
+
+
+def _hyp_text(tokenizer, row: np.ndarray, length: int, eos: int) -> str:
+    ids = [int(t) for t in np.asarray(row)[:int(length)] if int(t) != eos]
+    return " ".join(tokenizer.decode(ids).split())
+
+
+def _conv_name(texts: List[str]) -> str:
+    """The conversation's name = the word over ASR_NAME_CHARS (present in
+    every utterance by construction)."""
+    from ..data.synthetic_conversations import ASR_NAME_CHARS
+
+    for text in texts:
+        for w in text.split():
+            if all(c in ASR_NAME_CHARS for c in w):
+                return w
+    return ""
+
+
+def run_asr_stage(args) -> Dict:
+    import jax
+
+    from ..data.asr_dataset import KaldiAsrDataset, _utt_time_key
+    from ..data.synthetic_conversations import make_asr_corpus
+    from ..data.tokenizer import load_tokenizer
+    from ..decode.batcher import decode_continuous, decode_conversations
+    from ..decode.fusion import FusionLM
+    from ..models.gpt2 import model as g
+    from ..models.speecht5.config import tiny_config
+    from ..utils.checkpoint import Checkpointer
+    from ..utils.wer import wer
+    from . import train_asr, train_lm
+
+    corpus = os.path.join(args.out_dir, "asr_corpus")
+    tr_dir, dev_dir = make_asr_corpus(
+        corpus, n_train=args.asr_convs, n_dev=args.asr_dev_convs,
+        n_utts=args.asr_utts, seed=args.seed)
+
+    asr_dir = os.path.join(args.out_dir, "asr")
+    asr_argv = [
+        "--train_dir", tr_dir, "--tiny", "--tokenizer", "char",
+        "--batch_size", str(args.asr_batch), "--steps", str(args.asr_steps),
+        "--out_dir", asr_dir, "--max_seconds", "4.0",
+        "--eval_every", str(10 * args.asr_steps),
+        "--save_every", str(args.asr_steps), "--lr", "3e-4",
+        "--seed", str(args.seed)]
+    if args.rng_impl:
+        asr_argv += ["--rng_impl", args.rng_impl]
+    rc = train_asr.main(asr_argv)
+    assert rc == 0, "train_asr failed"
+
+    lm_dir = os.path.join(args.out_dir, "asr_lm")
+    lm_argv = [
+        "--train_file", os.path.join(tr_dir, "text"),
+        "--model", "tiny", "--tokenizer", "char",
+        "--seq_len", str(args.asr_lm_seq_len),
+        "--batch_size", "16", "--steps", str(args.asr_lm_steps),
+        "--out_dir", lm_dir, "--eval_every", str(10 * args.asr_lm_steps),
+        "--save_every", str(args.asr_lm_steps), "--log_every", "100",
+        "--seed", str(args.seed)]
+    if args.rng_impl:
+        lm_argv += ["--rng_impl", args.rng_impl]
+    rc = train_lm.main(lm_argv)
+    assert rc == 0, "train_lm (fusion LM) failed"
+
+    # trained weights + the EXACT training-time configs (train_asr --tiny
+    # / train_lm --model tiny shapes)
+    cfg = tiny_config(vocab_size=256, hidden_size=32,
+                      encoder_attention_heads=4, decoder_attention_heads=4,
+                      encoder_ffn_dim=64, decoder_ffn_dim=64)
+    asr_params = Checkpointer(os.path.join(asr_dir, "ckpt")).restore()["params"]
+    lm_cfg = g.tiny_gpt2_config(vocab_size=256,
+                                n_positions=max(args.asr_lm_seq_len, 64),
+                                n_embd=32, n_head=4)
+    lm_params = Checkpointer(os.path.join(lm_dir, "ckpt")).restore()["params"]
+    fusion = FusionLM(lm_params, lm_cfg, weight=args.fusion_weight)
+
+    tokenizer = load_tokenizer("char")
+    tokenizer.vocab_size = 256
+    eos = cfg.eos_token_id
+
+    # dev conversations in chronological utterance order
+    dev = KaldiAsrDataset(dev_dir)
+    groups: Dict[str, List] = {}
+    for ex in dev.examples:
+        groups.setdefault(ex.reco_id, []).append(ex)
+    convs, refs_by_utt = [], {}
+    for reco in groups:
+        exs = sorted(groups[reco],
+                     key=lambda e: _utt_time_key(e.utt_id, e.start, e.end))
+        convs.append((reco, [dev.load_waveform(e) for e in exs]))
+        for u, e in enumerate(exs):
+            refs_by_utt[e.utt_id] = (reco, u, e.text)
+    bucket = max(len(w) for _, wavs in convs for w in wavs)
+    flat_utts = []
+    utt_order: Dict[str, List[str]] = {}
+    for reco in groups:
+        exs = sorted(groups[reco],
+                     key=lambda e: _utt_time_key(e.utt_id, e.start, e.end))
+        utt_order[reco] = [e.utt_id for e in exs]
+        for e in exs:
+            flat_utts.append((e.utt_id, dev.load_waveform(e)))
+
+    carry = decode_conversations(
+        asr_params, cfg, convs, fusion=fusion, slots=4, chunk_steps=16,
+        max_len=args.decode_max_len, audio_samples=bucket,
+        max_positions=lm_cfg.n_positions,
+        decode_reserve=args.decode_max_len + 8)
+    nocarry = decode_continuous(
+        asr_params, cfg, flat_utts, slots=4, chunk_steps=16,
+        max_len=args.decode_max_len, audio_samples=bucket, fusion=fusion)
+    nofusion = decode_continuous(
+        asr_params, cfg, flat_utts, slots=4, chunk_steps=16,
+        max_len=args.decode_max_len, audio_samples=bucket, fusion=None)
+
+    def collect(hyp_by_utt: Dict[str, str]) -> Dict:
+        buckets = {"all": ([], []), "clean": ([], []), "degraded": ([], [])}
+        name_hits = name_total = 0
+        for uid, (reco, u, ref) in refs_by_utt.items():
+            hyp = hyp_by_utt.get(uid, "")
+            for key in ("all", "clean" if u == 0 else "degraded"):
+                buckets[key][0].append(ref)
+                buckets[key][1].append(hyp)
+            if u > 0:
+                name = _conv_name([ref])
+                name_total += 1
+                if name and name in hyp.split():
+                    name_hits += 1
+        out = {f"wer_{k}": wer(r, h) for k, (r, h) in buckets.items()}
+        out["name_recovery"] = name_hits / max(name_total, 1)
+        return out
+
+    def from_continuous(res) -> Dict[str, str]:
+        return {uid: _hyp_text(tokenizer, row, L, eos)
+                for uid, (row, L) in res.items()}
+
+    def from_conversations(res) -> Dict[str, str]:
+        out = {}
+        for reco, per_utt in res.items():
+            for uid, (row, L) in zip(utt_order[reco], per_utt):
+                out[uid] = _hyp_text(tokenizer, row, L, eos)
+        return out
+
+    results = {
+        "carry": collect(from_conversations(carry)),
+        "nocarry": collect(from_continuous(nocarry)),
+        "nofusion": collect(from_continuous(nofusion)),
+    }
+    results["wer_gain_degraded"] = (results["nocarry"]["wer_degraded"]
+                                    - results["carry"]["wer_degraded"])
+    print(f"ASR: WER degraded carry {results['carry']['wer_degraded']:.3f} "
+          f"vs no-carry {results['nocarry']['wer_degraded']:.3f} "
+          f"(no-fusion {results['nofusion']['wer_degraded']:.3f}); "
+          f"name recovery {results['carry']['name_recovery']:.2f} vs "
+          f"{results['nocarry']['name_recovery']:.2f}", file=sys.stderr)
+    return results
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    from .common import setup_compilation_cache
+    setup_compilation_cache()
+
+    results: Dict = {}
+    if args.stage in ("all", "lm"):
+        results["lm"] = run_lm_stage(args)
+    if args.stage in ("all", "asr"):
+        results["asr"] = run_asr_stage(args)
+    path = os.path.join(args.out_dir, "results.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"results written to {path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

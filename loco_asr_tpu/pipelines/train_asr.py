@@ -114,7 +114,10 @@ def parse_args(argv=None):
                         "bitwise cross-backend reproducibility")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
-    p.add_argument("--decode_max_len", type=int, default=100)
+    p.add_argument("--decode_max_len", type=int, default=None,
+                   help="eval greedy-decode token budget (default 100 "
+                        "per-utterance, max_label_len in conversation "
+                        "mode; an explicit value always wins)")
     p.add_argument("--eval_batches", type=int, default=20)
     return p.parse_args(argv)
 
@@ -217,7 +220,7 @@ def main(argv=None) -> int:
         args.max_seconds = args.conversation_seconds
         if args.max_label_len is None:
             args.max_label_len = max(128, int(16 * args.conversation_seconds))
-        if args.decode_max_len == 100:   # the per-utterance default
+        if args.decode_max_len is None:
             args.decode_max_len = args.max_label_len
         train_ds = ConversationAsrDataset(
             args.train_dir, window_seconds=args.conversation_seconds)
@@ -229,6 +232,8 @@ def main(argv=None) -> int:
     else:
         if args.max_label_len is None:
             args.max_label_len = 128
+        if args.decode_max_len is None:
+            args.decode_max_len = 100
         train_ds = KaldiAsrDataset(args.train_dir)
         dev_ds = KaldiAsrDataset(args.dev_dir) if args.dev_dir else None
         print(f"train utts: {len(train_ds)}", file=sys.stderr)
@@ -306,6 +311,10 @@ def main(argv=None) -> int:
     epoch = 0
     t0 = time.perf_counter()
     stream = batch_stream(epoch)
+    # data-loss observability: the dataset reports audio samples / label
+    # tokens / whole utterances cut by the max_seconds / max_label_len caps
+    trunc_totals = {"samples": 0, "label_tokens": 0, "utterances": 0}
+    trunc_warned = False
     init_snap = None
     if args.nan_recovery:
         # rollback target when no checkpoint exists yet (a NaN that lands
@@ -320,6 +329,17 @@ def main(argv=None) -> int:
             stream = batch_stream(epoch)
             continue
         rng, sub = jax.random.split(rng)
+        tr = batch.get("truncation")
+        if tr:
+            for k in trunc_totals:
+                trunc_totals[k] += tr.get(k, 0)
+            if any(tr.values()) and not trunc_warned:
+                trunc_warned = True
+                print(f"WARNING: batch truncated data at the caps "
+                      f"(max_seconds={args.max_seconds}, "
+                      f"max_label_len={args.max_label_len}): {tr} — "
+                      f"running totals are logged as trunc_* in "
+                      f"metrics.jsonl", file=sys.stderr)
         if args.nan_inject_step is not None and step + 1 == args.nan_inject_step:
             # fault injection: a genuinely poisoned batch (NaN waveform ->
             # NaN loss/grads) exercising the recovery path end-to-end
@@ -360,7 +380,10 @@ def main(argv=None) -> int:
             t0 = time.perf_counter()
             metrics.log(step=step, loss=float(m["loss"]),
                         grad_norm=float(m["grad_norm"]),
-                        steps_per_sec=50.0 / dt)
+                        steps_per_sec=50.0 / dt,
+                        trunc_samples=trunc_totals["samples"],
+                        trunc_label_tokens=trunc_totals["label_tokens"],
+                        trunc_utterances=trunc_totals["utterances"])
             print(f"step {step}: loss {float(m['loss']):.4f} "
                   f"({50.0/dt:.2f} steps/s)", file=sys.stderr)
         if step % args.eval_every == 0:

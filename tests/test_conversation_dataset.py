@@ -193,3 +193,83 @@ def test_eos_appended_after_truncation(conv_kaldi_dir):
         valid = [int(t) for t in row if t != -100]
         assert len(valid) <= 8
         assert valid[-1] == 1
+    # the cut is counted, not silent
+    assert b["truncation"]["label_tokens"] > 0
+
+
+def test_label_rows_never_exceed_cap_with_bos_and_eos(conv_kaldi_dir):
+    """bos+eos room is reserved BEFORE truncation (rows previously could
+    reach max_label_len+1 with both set)."""
+    from loco_asr_tpu.data.asr_dataset import (ConversationAsrDataset,
+                                               KaldiAsrDataset)
+    from loco_asr_tpu.data.tokenizer import CharTokenizer
+
+    tok = CharTokenizer()
+    for ds in (ConversationAsrDataset(conv_kaldi_dir, window_seconds=1000.0),
+               KaldiAsrDataset(conv_kaldi_dir)):
+        for b in ds.batches(tok, batch_size=3, bos_id=2, eos_id=1,
+                            max_label_len=8, label_multiple=8):
+            for row in b["labels"]:
+                valid = [int(t) for t in row if t != -100]
+                assert len(valid) <= 8
+                assert valid[0] == 2 and valid[-1] == 1
+
+
+def test_window_audio_crop_drops_labels_at_utterance_boundary(conv_kaldi_dir):
+    """max_seconds smaller than the window: audio is cut at an utterance
+    boundary and the cut utterances' TEXT leaves the labels too (training
+    never sees transcript tokens for speech the crop removed); the drop
+    is reported in the truncation counters."""
+    from loco_asr_tpu.data.asr_dataset import ConversationAsrDataset
+    from loco_asr_tpu.data.tokenizer import CharTokenizer
+
+    tok = CharTokenizer()
+    ds = ConversationAsrDataset(conv_kaldi_dir, window_seconds=1000.0)
+    # rec1-A window = four 1s utterances; cap at 2.5s -> keep exactly 2
+    trunc_utts = 0
+    seen = False
+    for b in ds.batches(tok, batch_size=1, eos_id=1, max_seconds=2.5,
+                        audio_multiple=SR):
+        trunc_utts += b["truncation"]["utterances"]
+        wid = b["utt_ids"][0]
+        if not wid.startswith("rec1-A"):
+            continue
+        seen = True
+        assert int(b["attention_mask"][0].sum()) == 2 * SR
+        assert b["texts"][0] == "first a second a"
+        valid = [int(t) for t in b["labels"][0] if t != -100]
+        # two separators only (one per KEPT utterance)
+        assert valid.count(1) == 2
+        decoded = tok.decode([t for t in valid[:valid.index(1)]])
+        assert decoded == "first a"
+    assert seen
+    # rec1-A drops 2 utts, rec1-B and rec2-A fit (2.0s each)
+    assert trunc_utts == 2
+
+
+def test_segmentless_overlong_window_counts_cropped_samples(tmp_path):
+    """A segment-less (unknown-duration) window longer than max_seconds is
+    cropped mid-utterance — the only legal cut — and the removed samples
+    are counted."""
+    import wave as wave_mod
+
+    root = tmp_path / "k"
+    root.mkdir()
+    rng = np.random.default_rng(2)
+    pcm = (rng.standard_normal(3 * SR) * 3000).astype(np.int16)
+    with wave_mod.open(str(root / "solo.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(pcm.tobytes())
+    (root / "text").write_text("solo hello there\n")
+    (root / "wav.scp").write_text(f"solo {root}/solo.wav\n")
+    from loco_asr_tpu.data.asr_dataset import ConversationAsrDataset
+    from loco_asr_tpu.data.tokenizer import CharTokenizer
+
+    ds = ConversationAsrDataset(str(root), window_seconds=1000.0)
+    b = next(ds.batches(CharTokenizer(), batch_size=1, eos_id=1,
+                        max_seconds=1.0, audio_multiple=SR))
+    assert int(b["attention_mask"][0].sum()) == SR
+    assert b["truncation"]["samples"] == 2 * SR
+    assert b["truncation"]["utterances"] == 0
