@@ -131,19 +131,26 @@ def make_lm_corpus(out_dir: str, *, n_train: int = 200, n_dev: int = 40,
 # ---------------------------------------------------------------------------
 
 CHAR_SECONDS = 0.05
-# the ASR twin uses a REDUCED alphabet: the tiny conv feature encoder's
-# receptive field (~20 samples = 1.25 ms) resolves frequencies only
-# coarsely, so tones must be spaced far apart to stay separable
+# the ASR twin uses a REDUCED alphabet and DTMF-style two-tone chords.
+# Constraint chain: the tiny conv front-end's first layer has stride 5,
+# so its output is sampled at 3,200 Hz — any tone above the post-stride
+# Nyquist of 1,600 Hz ALIASES back into the band (a 6.8 kHz tone lands
+# on 400 Hz, exactly a low char's tone; a log-spaced single-tone
+# alphabet measured undecodable for precisely this reason).  Ten chars
+# therefore need ten separable codes INSIDE 350-1,500 Hz, where the
+# ~20-sample receptive field resolves only ~4-5 bands — so each char is
+# a PAIR of the 5 well-separated base tones (C(5,2) = 10 chords).
 ASR_FILLER_CHARS = "abcde"
 ASR_NAME_CHARS = "klmno"
 _ASR_CHARS = ASR_FILLER_CHARS + ASR_NAME_CHARS
+_BASE_TONES = (380.0, 650.0, 920.0, 1190.0, 1460.0)
+_CHAR_PAIRS = [(i, j) for i in range(5) for j in range(i + 1, 5)]
 
 
-def _char_freq(ch: str) -> float:
-    """Distinct tone per character, log-spaced 400-6800 Hz (wide spacing —
-    see the receptive-field note above)."""
-    i = _ASR_CHARS.index(ch)
-    return 400.0 * (6800.0 / 400.0) ** (i / (len(_ASR_CHARS) - 1))
+def _char_freqs(ch: str) -> Tuple[float, float]:
+    """The character's two base tones (chord coding, see above)."""
+    i, j = _CHAR_PAIRS[_ASR_CHARS.index(ch)]
+    return _BASE_TONES[i], _BASE_TONES[j]
 
 
 def render_utterance(text: str, rng: np.random.Generator, *,
@@ -166,7 +173,9 @@ def render_utterance(text: str, rng: np.random.Generator, *,
         if ch == " ":
             parts.append(np.zeros(n, np.float32))
             continue
-        tone = np.sin(2 * np.pi * _char_freq(ch) * t).astype(np.float32)
+        f1, f2 = _char_freqs(ch)
+        tone = (0.5 * (np.sin(2 * np.pi * f1 * t)
+                       + np.sin(2 * np.pi * f2 * t))).astype(np.float32)
         if deg_lo <= i < deg_hi:
             seg = (degrade_tone * tone
                    + degrade_noise * rng.standard_normal(n).astype(np.float32))
@@ -179,17 +188,24 @@ def render_utterance(text: str, rng: np.random.Generator, *,
 def make_asr_corpus(out_dir: str, *, n_train: int = 60, n_dev: int = 16,
                     n_utts: int = 8, filler_words: int = 3,
                     name_len: int = 4, seed: int = 0,
-                    ) -> Tuple[str, str]:
+                    degrade: bool = True,
+                    degrade_prob: float = 0.5) -> Tuple[str, str]:
     """Write Kaldi ASR dirs ``train/`` and ``dev/`` (text, wav.scp,
-    segments, one wav per conversation) and return their paths.
+    segments, one wav per conversation, plus ``degraded.txt`` listing
+    the utt ids whose name audio was degraded) and return their paths.
 
     Per conversation: utterance 0 carries the name with CLEAN audio;
-    every later utterance carries it DEGRADED (render_utterance).  The
-    transcripts are always correct — like a human transcriber who heard
-    the name introduced and transcribes the later mumbled mentions from
-    context — so supervised training teaches the model that degraded
-    segments spell SOME name, while the acoustics no longer say which.
-    Dev names are disjoint from train names."""
+    each later occurrence is DEGRADED with probability ``degrade_prob``
+    (render_utterance).  The transcripts are always correct — like a
+    human transcriber who heard the name introduced and transcribes the
+    later mumbled mentions from context — so supervised training teaches
+    the model that degraded segments spell SOME name, while the
+    acoustics no longer say which.  Partial degradation matters: with
+    EVERY repeat degraded, name-position acoustics are noise in ~7/8 of
+    the training signal and the model measurably stops reading clean
+    name audio too (the all-clean control reaches dev WER ~0.1; the
+    all-degraded corpus never decodes even clean names).  Dev names are
+    disjoint from train names."""
     rng = np.random.default_rng(seed + 100)
     filler = make_filler_vocab(rng, n=12, chars=ASR_FILLER_CHARS)
     train_names = sample_names(rng, n_train, name_len,
@@ -202,6 +218,7 @@ def make_asr_corpus(out_dir: str, *, n_train: int = 60, n_dev: int = 16,
         wav_dir = os.path.join(root, "wav")
         os.makedirs(wav_dir, exist_ok=True)
         text_lines, scp_lines, seg_lines = [], [], []
+        degraded_ids: List[str] = []
         for c, name in enumerate(names):
             conv_id = f"{split}conv{c:04d}"
             conv = sample_conversation(rng, conv_id, name, filler,
@@ -212,8 +229,12 @@ def make_asr_corpus(out_dir: str, *, n_train: int = 60, n_dev: int = 16,
             chunks, cursor = [], 0.0
             for u, (uid, text) in enumerate(zip(conv.utt_ids,
                                                 conv.utterances)):
+                deg = (degrade and u > 0
+                       and float(rng.random()) < degrade_prob)
+                if deg:
+                    degraded_ids.append(uid)
                 wav = render_utterance(
-                    text, rng, degrade_name=(name if u > 0 else ""))
+                    text, rng, degrade_name=(name if deg else ""))
                 start = cursor
                 end = cursor + len(wav) / SR
                 seg_lines.append(f"{uid} {reco} {start:.3f} {end:.3f}")
@@ -232,7 +253,8 @@ def make_asr_corpus(out_dir: str, *, n_train: int = 60, n_dev: int = 16,
                 w.writeframes(pcm.tobytes())
             scp_lines.append(f"{reco} {path}")
         for fname, lines in (("text", text_lines), ("wav.scp", scp_lines),
-                             ("segments", seg_lines)):
+                             ("segments", seg_lines),
+                             ("degraded.txt", degraded_ids)):
             with open(os.path.join(root, fname), "w") as f:
                 f.write("\n".join(lines) + "\n")
         out.append(root)

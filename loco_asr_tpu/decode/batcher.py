@@ -217,7 +217,8 @@ def _beam_insert_many(cfg: SpeechT5Config, k: int, state: BeamSlotState,
 def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
                     max_len: int, state: BeamSlotState, fusion=None,
                     lm_cache: Optional[Dict] = None,
-                    lm_off: Optional[jnp.ndarray] = None):
+                    lm_off: Optional[jnp.ndarray] = None,
+                    early_stop_lp: Optional[float] = None):
     """``n_steps`` beam steps over all slots (all-done slots inert) —
     the per-step math of decode/beam.beam_search with per-slot offsets.
     With ``fusion``, the LM cache is beam-flat ([S*K, ...]) and reordered
@@ -226,7 +227,20 @@ def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
     ``lm_off`` [S]: per-slot LM history offsets (beam conversation
     carry-over); LM positions become ``lm_off + step``.  Frozen
     (slot-done) slots' LM caches already revert wholesale each step, the
-    beam counterpart of the greedy chunk's ``freeze_lm``."""
+    beam counterpart of the greedy chunk's ``freeze_lm``.
+
+    ``early_stop_lp``: when set (the decode's GNMT length_penalty), a slot
+    retires as soon as NO live beam's best achievable normalized score can
+    beat the best already-finished hypothesis — instead of stalling the
+    slot on its slowest straggler beam.  Raw scores are non-increasing
+    (log-probs <= 0), and the GNMT penalty q(L) = ((5+L)/6)^p is monotone
+    in L, so a live beam with raw score s and length l is bounded by
+    s / max(q(l), q(max_len)) over every future finish length; once the
+    best finished normalized score strictly exceeds every live bound, the
+    search outcome is decided and all beams freeze.  The returned best
+    hypothesis is bit-identical to the full search (the host-side argmax
+    still lands on the same finished row), only wasted straggler steps
+    disappear — the per-beam slot-retirement fix (docs/BENCH.md r5)."""
     s = state.step.shape[0]
     v = cfg.vocab_size
     pad_onehot = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
@@ -275,6 +289,15 @@ def _beam_run_chunk(cfg: SpeechT5Config, params: Dict, k: int, n_steps: int,
 
         step = jnp.where(slot_done, st.step, st.step + 1)
         done = done | (step >= max_len)[:, None]
+        if early_stop_lp is not None:
+            q = lambda L: ((5.0 + L) / 6.0) ** early_stop_lp
+            lens_f = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+            fin_norm = jnp.max(
+                jnp.where(done, top_scores / q(lens_f), NEG_INF), axis=1)
+            bound_q = jnp.maximum(q(lens_f), q(jnp.float32(max_len)))
+            live_bound = jnp.max(
+                jnp.where(done, NEG_INF, top_scores / bound_q), axis=1)
+            done = done | (fin_norm > live_bound)[:, None]
         # frozen slots keep their pre-step state wholesale
         keep = lambda new, old: jnp.where(
             slot_done.reshape((s,) + (1,) * (new.ndim - 1)), old, new)
@@ -337,7 +360,8 @@ def _encode_pending(encode_fn, params, pending, slots: int,
 
 @functools.lru_cache(maxsize=8)
 def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int,
-                  lm_key: Optional[tuple] = None, lm_weight: float = 0.3):
+                  lm_key: Optional[tuple] = None, lm_weight: float = 0.3,
+                  length_penalty: Optional[float] = None):
     from ..models.gpt2.model import GPT2Config
     from .fusion import FusionLM
 
@@ -350,7 +374,8 @@ def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int,
             donate_argnums=(0,))
         chunk = jax.jit(
             lambda params, state: _beam_run_chunk(cfg, params, k, chunk_steps,
-                                                  max_len, state),
+                                                  max_len, state,
+                                                  early_stop_lp=length_penalty),
             donate_argnums=(1,))
         return insert, chunk
     lm_cfg = GPT2Config(**dict(lm_key))
@@ -363,7 +388,7 @@ def _beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int, max_len: int,
         lambda params, lm_params, state, lm_cache: _beam_run_chunk(
             cfg, params, k, chunk_steps, max_len, state,
             fusion=FusionLM(lm_params, lm_cfg, weight=lm_weight),
-            lm_cache=lm_cache),
+            lm_cache=lm_cache, early_stop_lp=length_penalty),
         donate_argnums=(2, 3))
     return insert, chunk
 
@@ -378,9 +403,12 @@ def decode_continuous_beam(
     fusion=None,
 ) -> Dict[str, Tuple[np.ndarray, int]]:
     """Beam-search with continuous batching: like :func:`decode_continuous`
-    but each slot runs ``beam_size`` beams; a slot is refilled once ALL its
-    beams finish.  Static ``beam_search`` always runs the full ``max_len``
-    fori_loop, so slot retirement wins even more here than for greedy.
+    but each slot runs ``beam_size`` beams; a slot is refilled once its
+    search is DECIDED — all beams finished, or the best finished
+    hypothesis provably beats every live beam's achievable normalized
+    score (the in-chunk early stop, ``_beam_run_chunk`` early_stop_lp).
+    Static ``beam_search`` always runs the full ``max_len`` fori_loop, so
+    slot retirement wins even more here than for greedy.
 
     Returns {utt_id: (tokens, length)} of the length-penalty-best
     hypothesis — same tokens as per-utterance ``beam_search``.
@@ -398,12 +426,14 @@ def decode_continuous_beam(
         encode_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
     if fusion is None:
         insert_fn, chunk_fn = _beam_jit_fns(_cfg_key(cfg), beam_size,
-                                            chunk_steps, max_len)
+                                            chunk_steps, max_len,
+                                            length_penalty=length_penalty)
     else:
         insert_fn, chunk_fn = _beam_jit_fns(_cfg_key(cfg), beam_size,
                                             chunk_steps, max_len,
                                             _cfg_key(fusion.cfg),
-                                            fusion.weight)
+                                            fusion.weight,
+                                            length_penalty=length_penalty)
 
     slot_owner: List[Optional[str]] = [None] * slots
     results: Dict[str, Tuple[np.ndarray, int]] = {}
@@ -629,7 +659,8 @@ def _conv_jit_fns(cfg_key: tuple, chunk_steps: int, max_len: int,
 
 @functools.lru_cache(maxsize=8)
 def _conv_beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int,
-                       max_len: int, lm_key: tuple, lm_weight: float):
+                       max_len: int, lm_key: tuple, lm_weight: float,
+                       length_penalty: Optional[float] = None):
     """jit'd insert/chunk/select/scatter programs for BEAM conversation
     carry-over: the chunk runs beam steps with per-slot LM offsets (done
     slots frozen wholesale), the insert preserves LM rows of continuing
@@ -652,7 +683,8 @@ def _conv_beam_jit_fns(cfg_key: tuple, k: int, chunk_steps: int,
         lambda params, lm_params, state, lm_cache, lm_off: _beam_run_chunk(
             cfg, params, k, chunk_steps, max_len, state,
             fusion=FusionLM(lm_params, lm_cfg, weight=lm_weight),
-            lm_cache=lm_cache, lm_off=lm_off),
+            lm_cache=lm_cache, lm_off=lm_off,
+            early_stop_lp=length_penalty),
         donate_argnums=(2, 3))
 
     def _select(lm_cache, slot, best):
@@ -692,7 +724,7 @@ def _decode_conversations_beam(
     k = beam_size
     insert_fn, chunk_fn, select_fn, scatter_fn = _conv_beam_jit_fns(
         _cfg_key(cfg), k, chunk_steps, max_len, _cfg_key(fusion.cfg),
-        fusion.weight)
+        fusion.weight, length_penalty=length_penalty)
 
     queue = list(reversed(convs))              # pop() yields arrival order
     slot_conv: List[Optional[str]] = [None] * slots

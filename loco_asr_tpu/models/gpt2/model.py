@@ -103,9 +103,19 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     b, t, _ = q.shape
-    q = q.reshape(b, t, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = k.reshape(b, t, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(b, t, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = q.reshape(b, t, cfg.n_head, cfg.head_dim)
+    k = k.reshape(b, t, cfg.n_head, cfg.head_dim)
+    v = v.reshape(b, t, cfg.n_head, cfg.head_dim)
+    # the plain flash path consumes [B, T, H, D] IN PLACE (the reshape
+    # above is a free view of the qkv projection output) — transposing to
+    # [B, H, T, D] for the pallas_call costs a measured 5.4 ms of pure
+    # relayout copies at B=128 scoring (docs/BENCH.md r4 decomposition)
+    use_nhd = (attn_impl == "flash" and kv_cache is None
+               and kv_valid_len is None)
+    if not use_nhd:
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
 
     new_cache = None
     if kv_cache is not None:
@@ -136,6 +146,14 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
                        causal=True, scale=cfg.head_dim ** -0.5,
                        kv_valid_len=kv_valid_len, batch_axis=batch_axis)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
+    elif use_nhd:
+        # O(T)-memory Pallas kernel reading/writing the [B, T, H, D]
+        # layout directly — no relayout on either side of the call
+        from ...ops.pallas import flash_attention_nhd
+
+        attn = flash_attention_nhd(q, k, v, causal=True,
+                                   scale=cfg.head_dim ** -0.5)
+        attn = attn.reshape(b, t, cfg.n_embd)
     elif attn_impl == "flash" and kv_cache is None:
         # O(T)-memory Pallas kernel; full-sequence causal scoring only
         # (padding is inert under causality, see pipelines/eval_ppl.py).

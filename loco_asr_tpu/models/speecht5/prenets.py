@@ -100,6 +100,11 @@ def conv1_instance_norm_gelu_gram(
     gain = (inv * scale[None, :]).astype(jnp.float32)            # fold norm
     off = (bias[None, :] - mean * gain)                          # into affine
 
+    # stats/accumulation stay f32 above; the BIG activation is emitted in
+    # the caller's dtype — under bf16 mixed precision an f32 output here
+    # silently re-promoted the whole downstream conv stack to f32
+    # (conv1d_nhc follows x.dtype), which is why mp measured slower than
+    # f32 at B=16 in round 4.  f32 callers are bitwise unchanged.
     if time_major:
         y = jnp.einsum("bfk,kc->bfc", taps, w,
                        preferred_element_type=jnp.float32)
@@ -108,7 +113,7 @@ def conv1_instance_norm_gelu_gram(
         y = jnp.einsum("bfk,kc->bcf", taps, w,
                        preferred_element_type=jnp.float32)
         y = y * gain[:, :, None] + off[:, :, None]
-    return layers.gelu(y)
+    return layers.gelu(y.astype(wav.dtype))
 
 
 def feature_encoder_fused(params: Dict, cfg: SpeechT5Config,

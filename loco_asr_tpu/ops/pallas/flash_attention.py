@@ -30,6 +30,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _ref2d(ref):
+    """Load a [1, T, D] (flat-BH layout) or [1, T, 1, D] (NHD layout)
+    block ref as [T, D] — rank is static, so this is a compile-time
+    branch, not runtime control flow."""
+    return ref[0, :, 0, :] if len(ref.shape) == 4 else ref[0]
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
                   scale: float, causal: bool, block_q: int, block_k: int,
                   num_k_blocks: int):
@@ -54,9 +61,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         # numerics); accumulation and the online softmax stay f32
         # (measured: bf16 operands at [8,12,1024,64] halve the kernel
         # time again on top of the 512x512 block bump, docs/BENCH.md r4)
-        q = q_ref[0]                                      # [Bq, D]
-        k = k_ref[0]                                      # [Bk, D]
-        v = v_ref[0]                                      # [Bk, D]
+        q = _ref2d(q_ref)                                 # [Bq, D]
+        k = _ref2d(k_ref)                                 # [Bk, D]
+        v = _ref2d(v_ref)                                 # [Bk, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if causal:
@@ -79,7 +86,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
         denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
-        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        o = (acc_scr[:] / denom).astype(o_ref.dtype)
+        if len(o_ref.shape) == 4:       # NHD layout (static rank branch)
+            o_ref[0, :, 0, :] = o
+        else:
+            o_ref[0] = o
         lse = (m_scr[:, 0:1] + jnp.log(denom)).astype(lse_ref.dtype)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
@@ -150,6 +161,74 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k, interpret):
     )(qf, kf, vf)
 
     out = out.reshape(b, h, tq_p, d)[:, :, :tq]
+    lse = lse[..., 0].reshape(b, h, tq_p)[:, :, :tq]
+    return out, lse
+
+
+def _flash_forward_nhd(q, k, v, *, causal, scale, block_q, block_k,
+                       interpret):
+    """[B, T, H, D] operands consumed IN PLACE -> (out [B, Tq, H, D],
+    lse [B, H, Tq]).
+
+    Same kernel math as :func:`_flash_forward`, but the BlockSpecs read
+    (1, block, 1, D) tiles straight out of the [B, T, H, D] array — the
+    layout a fused qkv projection's reshape produces for free.  Mosaic
+    lowers the D-wide last-dim block because it EQUALS the array dim, so
+    no [B, H, T, D] relayout copy is ever materialized (measured 5.4 ms
+    of pure q/k/v transpose glue at gpt2 B=128 scoring, docs/BENCH.md
+    round-4 flash decomposition — this path exists to delete it)."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+
+    block_q = min(block_q, _round_up(max(8, tq), 8))
+    block_k = min(max(8, block_k), _round_up(tk, 8))
+    pq = -tq % block_q
+    pk = -tk % block_k
+    if not causal:
+        while pk and block_k > 8:
+            block_k = max(8, block_k // 2)
+            pk = -tk % block_k
+        if pk:
+            raise ValueError("non-causal flash requires Tk % block_k == 0 "
+                             "(padded keys would enter the softmax); "
+                             f"Tk={tk} has no 8-aligned block divisor")
+    if pq or pk:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0)))
+    tq_p, tk_p = q.shape[1], k.shape[1]
+    num_q = tq_p // block_q
+    num_k = tk_p // block_k
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_k_blocks=num_k)
+
+    q_spec = pl.BlockSpec((1, block_q, 1, d),
+                          lambda bh, qi, ki: (bh // h, qi, bh % h, 0))
+    kv_spec = pl.BlockSpec((1, block_k, 1, d),
+                           lambda bh, qi, ki: (bh // h, ki, bh % h, 0))
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b * h, num_q, num_k),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=(
+            q_spec,
+            pl.BlockSpec((1, block_q, 8), lambda bh, qi, ki: (bh, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, tq_p, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tq_p, 8), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+    out = out[:, :tq]
     lse = lse[..., 0].reshape(b, h, tq_p)[:, :, :tq]
     return out, lse
 
@@ -233,6 +312,64 @@ def _bwd(causal, scale, block_q, block_k, interpret, residuals, g):
 _flash_attention.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_nhd(q, k, v, causal, scale, block_q, block_k,
+                         interpret):
+    out, _ = _flash_forward_nhd(q, k, v, causal=causal, scale=scale,
+                                block_q=block_q, block_k=block_k,
+                                interpret=interpret)
+    return out
+
+
+def _nhd_fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+    out, lse = _flash_forward_nhd(q, k, v, causal=causal, scale=scale,
+                                  block_q=block_q, block_k=block_k,
+                                  interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _nhd_bwd(causal, scale, block_q, block_k, interpret, residuals, g):
+    # backward reuses the flat-BH blockwise kernel path; the transposes
+    # here cost the relayout the forward avoided, which is the right
+    # trade — the NHD path's workload is fwd-only bulk scoring
+    q, k, v, out, lse = residuals
+    tr = lambda x: x.transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_backward(tr(q), tr(k), tr(v), tr(out), lse, tr(g),
+                                 causal=causal, scale=scale,
+                                 block_k=block_k)
+    return tr(dq), tr(dk), tr(dv)
+
+
+_flash_attention_nhd.defvjp(_nhd_fwd, _nhd_bwd)
+
+
+def flash_attention_nhd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+    causal: bool = True, scale: Optional[float] = None,
+    block_q: Optional[int] = None, block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """[B, T, H, D] q/k/v -> [B, Tq, H, D] causal flash attention.
+
+    Identical math to :func:`flash_attention`, but the operands are
+    consumed in the layout the qkv projection writes ([B, T, H*D]
+    reshaped — a free view), and the output lands back in it: the
+    [B, H, T, D] relayout copies around the pallas_call disappear
+    entirely (5.4 ms of the 32.8 ms flash sublayer at gpt2 B=128
+    scoring, docs/BENCH.md round-4 decomposition).  Differentiable; the
+    backward transposes to the flat-BH kernel.  No rel_pe/kv_valid_len
+    support — padding must be inert under causality (right padding),
+    exactly the eval_ppl scoring contract.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    return _flash_attention_nhd(q, k, v, causal, scale,
+                                block_q if block_q is not None else 512,
+                                block_k if block_k is not None else 512,
+                                interpret)
+
+
 # ---------------------------------------------------------------------------
 # Relative-position + key-padding variant (SpeechT5 encoder long-context path)
 #
@@ -299,9 +436,9 @@ def _flash_rel_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, o_ref, lse_ref,
     def _compute():
         # native-dtype MXU operands (bf16 callers get bf16 passes);
         # softmax/accumulators stay f32 — see _flash_kernel
-        q = q_ref[0]                                      # [Bq, D]
-        k = k_ref[0]                                      # [Bk, D]
-        v = v_ref[0]                                      # [Bk, D]
+        q = _ref2d(q_ref)                                 # [Bq, D]
+        k = _ref2d(k_ref)                                 # [Bk, D]
+        v = _ref2d(v_ref)                                 # [Bk, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
@@ -343,7 +480,11 @@ def _flash_rel_kernel(q_ref, k_ref, v_ref, prev_ref, vl_ref, o_ref, lse_ref,
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
         denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
-        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        o = (acc_scr[:] / denom).astype(o_ref.dtype)
+        if len(o_ref.shape) == 4:       # NHD layout (static rank branch)
+            o_ref[0, :, 0, :] = o
+        else:
+            o_ref[0] = o
         lse = (m_scr[:, 0:1] + jnp.log(denom)).astype(lse_ref.dtype)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 

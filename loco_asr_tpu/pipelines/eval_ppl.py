@@ -64,6 +64,9 @@ def parse_arguments(argv=None):
                    help="'char' or dir with vocab.json+merges.txt")
     p.add_argument("--max_len", type=int, default=None,
                    help="context window (default: model n_positions)")
+    p.add_argument("--tiny_n_head", type=int, default=4,
+                   help="head count for --model tiny (the one tiny "
+                        "dimension a checkpoint's shapes can't pin down)")
     p.add_argument("--download_only", action="store_true",
                    help="kept for CLI parity; no-op in the egress-free build")
     p.add_argument("--no_cuda", action="store_true",
@@ -157,7 +160,7 @@ def main(argv=None) -> int:
         # are real computations (feeding T > n_positions is an error)
         cfg = g.tiny_gpt2_config(vocab_size=vocab,
                                  n_positions=max(64, args.max_len or 0),
-                                 n_embd=32, n_head=4)
+                                 n_embd=32, n_head=args.tiny_n_head)
     else:
         cfg = g.PRESETS[args.model]
     if args.tokenizer == "char" and args.model != "tiny":

@@ -44,22 +44,35 @@ def parse_args(argv=None):
     p.add_argument("--stage", choices=["all", "lm", "asr"], default="all")
     p.add_argument("--seed", type=int, default=0)
     # LM half
-    p.add_argument("--lm_convs", type=int, default=200)
+    p.add_argument("--lm_convs", type=int, default=600)
     p.add_argument("--lm_dev_convs", type=int, default=40)
     p.add_argument("--lm_utts", type=int, default=16)
-    p.add_argument("--lm_steps", type=int, default=1500)
+    p.add_argument("--lm_steps", type=int, default=4000)
     p.add_argument("--lm_batch", type=int, default=16)
+    p.add_argument("--lm_n_embd", type=int, default=64,
+                   help="tiny-LM hidden size (train_lm --tiny_n_embd); "
+                        "the 32-dim default tiny barely learns the "
+                        "induction copy the corpus is built around")
+    p.add_argument("--lm_n_layer", type=int, default=3)
     p.add_argument("--seq_len", type=int, default=256,
                    help="LM train seq len = eval context window")
     # ASR half
-    p.add_argument("--asr_convs", type=int, default=48)
+    p.add_argument("--asr_convs", type=int, default=200,
+                   help="training conversations; the fusion LM's "
+                        "induction strength tracks corpus size (48 "
+                        "convs measured a 1.14x context ratio, too weak "
+                        "to tip decoding)")
     p.add_argument("--asr_dev_convs", type=int, default=12)
     p.add_argument("--asr_utts", type=int, default=8)
-    p.add_argument("--asr_steps", type=int, default=3000)
+    p.add_argument("--asr_steps", type=int, default=4000)
     p.add_argument("--asr_batch", type=int, default=8)
-    p.add_argument("--asr_lm_steps", type=int, default=1200)
+    p.add_argument("--asr_lr", type=float, default=1e-3,
+                   help="tiny-ASR learning rate (3e-4 stalls at ~1.7 "
+                        "nats on the tone task; 1e-3 reaches the "
+                        "degraded-name entropy floor ~0.3)")
+    p.add_argument("--asr_lm_steps", type=int, default=5000)
     p.add_argument("--asr_lm_seq_len", type=int, default=192)
-    p.add_argument("--fusion_weight", type=float, default=1.0)
+    p.add_argument("--fusion_weight", type=float, default=0.6)
     p.add_argument("--decode_max_len", type=int, default=40)
     p.add_argument("--rng_impl", default=None,
                    choices=[None, "threefry", "rbg", "unsafe_rbg"],
@@ -95,6 +108,8 @@ def run_lm_stage(args) -> Dict:
         "--steps", str(args.lm_steps), "--out_dir", lm_dir,
         "--eval_every", str(max(args.lm_steps // 2, 1)),
         "--save_every", str(args.lm_steps),
+        "--tiny_n_embd", str(args.lm_n_embd),
+        "--tiny_n_layer", str(args.lm_n_layer),
         "--log_every", "100", "--seed", str(args.seed)]
     if args.rng_impl:
         train_argv += ["--rng_impl", args.rng_impl]
@@ -162,13 +177,28 @@ def run_asr_stage(args) -> Dict:
         corpus, n_train=args.asr_convs, n_dev=args.asr_dev_convs,
         n_utts=args.asr_utts, seed=args.seed)
 
+    # the bare tiny conv stack (2 layers, 16 ch, ~20-sample receptive
+    # field) cannot separate the chord tones — frames carry too little
+    # spectral resolution and the model falls back on the decoder's
+    # filler lexicon (measured: clean names undecodable).  This override
+    # deepens the front-end (3 layers, 64 ch, 105-sample receptive field
+    # = ~150 Hz resolution at a 400 Hz frame rate) while the transformer
+    # stays tiny; train_asr --config_json applies it, and the decode
+    # side below reconstructs the identical config.
+    conv_over = {"conv_dim": [64, 64, 64], "conv_stride": [5, 4, 2],
+                 "conv_kernel": [10, 8, 4], "max_speech_positions": 2048}
+    cfg_path = os.path.join(args.out_dir, "asr_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(conv_over, f)
+
     asr_dir = os.path.join(args.out_dir, "asr")
     asr_argv = [
+        "--config_json", cfg_path,
         "--train_dir", tr_dir, "--tiny", "--tokenizer", "char",
         "--batch_size", str(args.asr_batch), "--steps", str(args.asr_steps),
         "--out_dir", asr_dir, "--max_seconds", "4.0",
         "--eval_every", str(10 * args.asr_steps),
-        "--save_every", str(args.asr_steps), "--lr", "3e-4",
+        "--save_every", str(args.asr_steps), "--lr", str(args.asr_lr),
         "--seed", str(args.seed)]
     if args.rng_impl:
         asr_argv += ["--rng_impl", args.rng_impl]
@@ -183,6 +213,8 @@ def run_asr_stage(args) -> Dict:
         "--batch_size", "16", "--steps", str(args.asr_lm_steps),
         "--out_dir", lm_dir, "--eval_every", str(10 * args.asr_lm_steps),
         "--save_every", str(args.asr_lm_steps), "--log_every", "100",
+        "--tiny_n_embd", str(args.lm_n_embd),
+        "--tiny_n_layer", str(args.lm_n_layer),
         "--seed", str(args.seed)]
     if args.rng_impl:
         lm_argv += ["--rng_impl", args.rng_impl]
@@ -190,14 +222,19 @@ def run_asr_stage(args) -> Dict:
     assert rc == 0, "train_lm (fusion LM) failed"
 
     # trained weights + the EXACT training-time configs (train_asr --tiny
-    # / train_lm --model tiny shapes)
+    # + --config_json / train_lm --model tiny shapes)
+    import dataclasses
     cfg = tiny_config(vocab_size=256, hidden_size=32,
                       encoder_attention_heads=4, decoder_attention_heads=4,
                       encoder_ffn_dim=64, decoder_ffn_dim=64)
+    cfg = dataclasses.replace(cfg, **{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in conv_over.items()})
     asr_params = Checkpointer(os.path.join(asr_dir, "ckpt")).restore()["params"]
     lm_cfg = g.tiny_gpt2_config(vocab_size=256,
                                 n_positions=max(args.asr_lm_seq_len, 64),
-                                n_embd=32, n_head=4)
+                                n_embd=args.lm_n_embd,
+                                n_layer=args.lm_n_layer, n_head=4)
     lm_params = Checkpointer(os.path.join(lm_dir, "ckpt")).restore()["params"]
     fusion = FusionLM(lm_params, lm_cfg, weight=args.fusion_weight)
 
@@ -239,15 +276,21 @@ def run_asr_stage(args) -> Dict:
         asr_params, cfg, flat_utts, slots=4, chunk_steps=16,
         max_len=args.decode_max_len, audio_samples=bucket, fusion=None)
 
+    # ground-truth degradation labels (make_asr_corpus degraded.txt —
+    # only SOME later occurrences are degraded, see the generator note)
+    with open(os.path.join(dev_dir, "degraded.txt")) as f:
+        degraded_ids = {line.strip() for line in f if line.strip()}
+
     def collect(hyp_by_utt: Dict[str, str]) -> Dict:
         buckets = {"all": ([], []), "clean": ([], []), "degraded": ([], [])}
         name_hits = name_total = 0
         for uid, (reco, u, ref) in refs_by_utt.items():
             hyp = hyp_by_utt.get(uid, "")
-            for key in ("all", "clean" if u == 0 else "degraded"):
+            deg = uid in degraded_ids
+            for key in ("all", "degraded" if deg else "clean"):
                 buckets[key][0].append(ref)
                 buckets[key][1].append(hyp)
-            if u > 0:
+            if deg:
                 name = _conv_name([ref])
                 name_total += 1
                 if name and name in hyp.split():
@@ -272,6 +315,15 @@ def run_asr_stage(args) -> Dict:
         "nocarry": collect(from_continuous(nocarry)),
         "nofusion": collect(from_continuous(nofusion)),
     }
+    # per-utterance hypothesis dump (debugging/inspection)
+    dump = {}
+    for label, hyps in (("carry", from_conversations(carry)),
+                        ("nocarry", from_continuous(nocarry)),
+                        ("nofusion", from_continuous(nofusion))):
+        for uid, hyp in hyps.items():
+            dump.setdefault(uid, {"ref": refs_by_utt[uid][2]})[label] = hyp
+    with open(os.path.join(args.out_dir, "asr_hyps.json"), "w") as f:
+        json.dump(dump, f, indent=1)
     results["wer_gain_degraded"] = (results["nocarry"]["wer_degraded"]
                                     - results["carry"]["wer_degraded"])
     print(f"ASR: WER degraded carry {results['carry']['wer_degraded']:.3f} "

@@ -114,6 +114,12 @@ def parse_args(argv=None):
                         "bitwise cross-backend reproducibility")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke)")
+    p.add_argument("--config_json", default=None,
+                   help="JSON file of SpeechT5Config field overrides "
+                        "applied on top of the chosen base config (lists "
+                        "become tuples) — e.g. a custom conv stack; the "
+                        "same file must be passed wherever the "
+                        "checkpoint is loaded")
     p.add_argument("--decode_max_len", type=int, default=None,
                    help="eval greedy-decode token budget (default 100 "
                         "per-utterance, max_label_len in conversation "
@@ -154,6 +160,14 @@ def main(argv=None) -> int:
                           encoder_ffn_dim=64, decoder_ffn_dim=64)
     else:
         cfg = SpeechT5Config(vocab_size=args.vocab_size)
+    if args.config_json:
+        import dataclasses as _dc
+        import json as _json
+        with open(args.config_json) as f:
+            over = _json.load(f)
+        cfg = _dc.replace(cfg, **{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in over.items()})
 
     dims = [int(x) for x in args.mesh.split(",")]
     mesh = meshlib.make_mesh(*dims)

@@ -90,6 +90,13 @@ def parse_args(argv=None):
                    help="microbatches per optimizer step (sum-form "
                         "accumulation, exact token-mean equivalence; "
                         "batch_size must divide evenly)")
+    p.add_argument("--tiny_n_embd", type=int, default=32,
+                   help="hidden size for --model tiny (eval_ppl re-derives "
+                        "the config from the checkpoint's shapes)")
+    p.add_argument("--tiny_n_layer", type=int, default=2,
+                   help="layer count for --model tiny")
+    p.add_argument("--tiny_n_head", type=int, default=4,
+                   help="head count for --model tiny")
     p.add_argument("--loss_impl", choices=["chunked", "dense"],
                    default="chunked",
                    help="'chunked' (default) streams the lm-head loss in "
@@ -137,7 +144,9 @@ def main(argv=None) -> int:
     tokenizer = load_tokenizer(args.tokenizer)
     if args.model == "tiny":
         cfg = g.tiny_gpt2_config(vocab_size=256, n_positions=max(args.seq_len, 64),
-                                 n_embd=32, n_head=4)
+                                 n_embd=args.tiny_n_embd,
+                                 n_layer=args.tiny_n_layer,
+                                 n_head=args.tiny_n_head)
     else:
         cfg = g.PRESETS[args.model]
         if args.tokenizer == "char":

@@ -612,6 +612,34 @@ def bench_conversations(n_convs: int, utts_per_conv: int, slots: int,
     rows["conv_beam_rtfx"] = audio_s / t_beam
     print(f"conversations beam{k}+fusion+carry-over: {t_beam:.2f}s "
           f"(RTFx {audio_s/t_beam:,.0f}; {t_beam/t_batch:.2f}x greedy cost)")
+
+    # sequential beam+fusion+carry-over wall — the only numerics-equal
+    # alternative to the batched beam path (beam_decode_with_context per
+    # stream, batch=1), so the beam row's speedup is measured against its
+    # true baseline rather than the sequential *greedy* wall above
+    from loco_asr_tpu.decode.context import beam_decode_with_context
+
+    def run_sequential_beam(convs_subset):
+        for cid, wavs in convs_subset:
+            ctx = ConversationContext(fusion, batch=1,
+                                      decode_reserve=reserve)
+            for wav in wavs:
+                w = np.zeros((1, bucket), np.float32)
+                m = np.zeros((1, bucket), np.int32)
+                w[0, :len(wav)] = wav
+                m[0, :len(wav)] = 1
+                enc, msk = enc_fn(params, jnp.asarray(w), jnp.asarray(m))
+                beam_decode_with_context(params, cfg, enc, msk, ctx,
+                                         beam_size=k, max_len=max_len)
+
+    run_sequential_beam(convs)
+    t0 = time.perf_counter()
+    run_sequential_beam(convs)
+    t_seq_beam = time.perf_counter() - t0
+    rows["conv_beam_sequential_wall_s"] = t_seq_beam
+    rows["conv_beam_speedup"] = t_seq_beam / t_beam
+    print(f"conversations sequential beam{k}+fusion+carry-over: "
+          f"{t_seq_beam:.2f}s (batched beam is {t_seq_beam/t_beam:.2f}x)")
     WWW.update(rows)
 
 
@@ -681,8 +709,12 @@ def main(argv=None):
                         "historical rows comparable)")
     args = p.parse_args(argv)
 
-    from loco_asr_tpu.pipelines.common import setup_rng_impl
+    from loco_asr_tpu.pipelines.common import (setup_compilation_cache,
+                                               setup_rng_impl)
     setup_rng_impl(args.rng_impl)
+    # persistent executable cache: repeated sweep invocations (block/batch
+    # tuning) skip the multi-minute relay compiles (TPU-only, common.py)
+    setup_compilation_cache()
 
     import jax
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}",

@@ -146,13 +146,71 @@ def dense_causal(q, k, v):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+def bench_sublayer(batch: int, heads: int, seq: int, dim: int):
+    """Attention SUBLAYER comparison (qkv proj + attention + out proj) —
+    the level where the r4 decomposition found 5.4 ms of q/k/v relayout
+    glue around the pallas_call at B=128.  'flash-nhd' consumes the
+    projection output layout in place (ops/pallas flash_attention_nhd);
+    'flash-bhtd' is the old transpose-wrapped path; 'dense' is XLA's
+    fused chain (in-network form: the sublayer, not an isolated op)."""
+    from loco_asr_tpu.ops.pallas import flash_attention_nhd
+
+    e = heads * dim
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((batch, seq, e)), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((e, 3 * e)) * 0.02, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((e, e)) * 0.02, jnp.float32)
+
+    def make(impl):
+        def f(x, wqkv, wo):
+            b, t, _ = x.shape
+            qkv = x @ wqkv
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if impl == "dense":
+                tr = lambda z: z.reshape(b, t, heads, dim).transpose(
+                    0, 2, 1, 3)
+                q, k, v = tr(q), tr(k), tr(v)
+                a = dense_causal(q, k, v)
+                a = a.transpose(0, 2, 1, 3).reshape(b, t, e)
+            elif impl == "flash-bhtd":
+                tr = lambda z: z.reshape(b, t, heads, dim).transpose(
+                    0, 2, 1, 3)
+                a = flash_attention(tr(q), tr(k), tr(v), causal=True)
+                a = a.transpose(0, 2, 1, 3).reshape(b, t, e)
+            else:  # flash-nhd
+                re = lambda z: z.reshape(b, t, heads, dim)
+                a = flash_attention_nhd(re(q), re(k), re(v), causal=True)
+                a = a.reshape(b, t, e)
+            return a @ wo
+        return f
+
+    from loco_asr_tpu.utils.profiling import device_time_per_iter
+    print(f"\nsublayer [B={batch},H={heads},T={seq},D={dim}] "
+          f"(qkv proj + causal attention + out proj), ms/call:")
+    for impl in ("dense", "flash-bhtd", "flash-nhd"):
+        per = device_time_per_iter(make(impl), x, wqkv, wo, iters=6)
+        print(f"  {impl:12s} {per*1e3:8.2f} ms")
+    # parity spot check nhd vs bhtd
+    a = make("flash-nhd")(x, wqkv, wo)
+    b = make("flash-bhtd")(x, wqkv, wo)
+    print(f"  nhd vs bhtd max abs diff: "
+          f"{float(jnp.max(jnp.abs(a - b))):.2e}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--heads", type=int, default=12)
     p.add_argument("--seq", type=int, default=1024)
     p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--sublayer", action="store_true",
+                   help="run the sublayer (proj+attn+proj) comparison "
+                        "instead of the kernel-level sweep")
     args = p.parse_args(argv)
+    if args.sublayer:
+        print(f"backend: {jax.default_backend()}", file=sys.stderr)
+        bench_sublayer(args.batch, args.heads, args.seq, args.dim)
+        return
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     rng = np.random.default_rng(0)

@@ -107,6 +107,12 @@ def main(argv=None):
                    choices=["threefry", "rbg", "unsafe_rbg"],
                    help="dropout PRNG (trainers default to rbg; threefry "
                         "keeps historical profile rows comparable)")
+    p.add_argument("--attn_impl", default="dense",
+                   choices=["dense", "flash"],
+                   help="encoder/decoder attention (flash = the "
+                        "conversation-window training configuration)")
+    p.add_argument("--remat", default="none",
+                   choices=["none", "full", "dots", "hybrid", "lite"])
     args = p.parse_args(argv)
 
     from loco_asr_tpu.pipelines.common import setup_rng_impl
@@ -138,10 +144,19 @@ def main(argv=None):
         1, cfg.vocab_size, (args.batch, args.label_len)).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
+    import dataclasses
+    if args.attn_impl != "dense" and cfg.attention_dropout > 0.0:
+        # the kernels carry no attention-prob dropout (same zeroing the
+        # trainers apply, parallel/train.make_asr_train_step)
+        cfg = dataclasses.replace(cfg, attention_dropout=0.0)
+    remat = args.remat if args.remat != "none" else False
+
     def loss_fn(p, w, m, l, r, freeze=False):
         if freeze:
             p = train._with_frozen_feature_encoder(p)
-        loss, _ = st5.asr_loss(p, cfg, w, m, l, deterministic=False, rng=r)
+        loss, _ = st5.asr_loss(p, cfg, w, m, l, deterministic=False, rng=r,
+                               attn_impl=args.attn_impl, remat=remat,
+                               unroll_layers=True)
         return loss
 
     def fwd(p, w, m, l, r):
@@ -162,7 +177,8 @@ def main(argv=None):
 
     def full_factory(freeze):
         step_fn = train.make_asr_train_step(
-            cfg, mesh, tx, donate=False, freeze_feature_encoder=freeze)
+            cfg, mesh, tx, donate=False, freeze_feature_encoder=freeze,
+            attn_impl=args.attn_impl, remat=remat)
 
         def full(p, opt, b, r):
             new_p, new_opt, m = step_fn(p, opt, b, r)

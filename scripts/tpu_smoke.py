@@ -51,6 +51,22 @@ def main() -> int:
         g = jax.jit(jax.grad(lambda q: flash_attention(q, q, q).sum()))(q)
         assert bool(jnp.isfinite(g).all())
 
+    def flash_nhd():
+        # [B, T, H, D] in-place layout path: Mosaic must lower the
+        # (1, block, 1, D) BlockSpecs and match the flat-BH numbers
+        from loco_asr_tpu.ops.pallas import (flash_attention,
+                                             flash_attention_nhd)
+
+        q = jnp.asarray(rng.standard_normal((2, 512, 4, 64))
+                        .astype(np.float32) * 0.3)
+        out = jax.jit(lambda q: flash_attention_nhd(q, q, q,
+                                                    causal=True))(q)
+        tr = lambda x: x.transpose(0, 2, 1, 3)
+        want = jax.jit(lambda q: flash_attention(q, q, q,
+                                                 causal=True))(tr(q))
+        diff = float(jnp.abs(tr(out) - want).max())
+        assert diff < 1e-5, f"nhd vs flat-BH diff {diff}"
+
     def logmel():
         from loco_asr_tpu.ops.pallas import fused_log_mel
 
@@ -131,6 +147,7 @@ def main() -> int:
 
     for name, fn in (("pallas flash attention", flash),
                      ("pallas flash attention grad", flash_grad),
+                     ("pallas flash NHD layout", flash_nhd),
                      ("pallas flash rel-pos 16k", flash_rel_long),
                      ("pallas flash rel-pos parity", flash_rel_parity),
                      ("pallas fused log-mel", logmel),

@@ -76,6 +76,48 @@ def test_flash_attention_padded_tail_is_exact_for_valid_rows():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("t,block", [(64, 16), (100, 32)])
+def test_flash_attention_nhd_matches_dense(t, block):
+    """The [B, T, H, D] in-place layout path (no relayout around the
+    pallas_call) must produce the flat-BH kernel's exact numbers."""
+    from loco_asr_tpu.ops.pallas import flash_attention_nhd
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((2, 3, t, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 3, t, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 3, t, 64)).astype(np.float32))
+    want = _dense_attention(q, k, v, causal=True)
+    tr = lambda x: x.transpose(0, 2, 1, 3)        # -> [B, T, H, D]
+    got = flash_attention_nhd(tr(q), tr(k), tr(v), causal=True,
+                              block_q=block, block_k=block, interpret=True)
+    np.testing.assert_allclose(np.asarray(tr(got)), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_nhd_gradients_match_dense():
+    from loco_asr_tpu.ops.pallas import flash_attention_nhd
+
+    rng = np.random.default_rng(8)
+    tr = lambda x: x.transpose(0, 2, 1, 3)
+    q = jnp.asarray(rng.standard_normal((1, 2, 96, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 96, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 96, 32)).astype(np.float32))
+
+    def loss_nhd(q, k, v):
+        out = flash_attention_nhd(tr(q), tr(k), tr(v), causal=True,
+                                  block_q=32, block_k=32, interpret=True)
+        return jnp.sum(jnp.sin(tr(out)))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(_dense_attention(q, k, v, causal=True)))
+
+    gf = jax.grad(loss_nhd, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
 @pytest.mark.parametrize("causal,t", [(True, 96), (False, 64)])
 def test_flash_attention_gradients_match_dense(causal, t):
     rng = np.random.default_rng(4)
