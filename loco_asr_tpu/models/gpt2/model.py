@@ -148,11 +148,15 @@ def _block(bp: Dict, cfg: GPT2Config, x: jnp.ndarray,
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd)
     elif use_nhd:
         # O(T)-memory Pallas kernel reading/writing the [B, T, H, D]
-        # layout directly — no relayout on either side of the call
+        # layout directly — no relayout on either side of the call.
+        # precision="default" = bf16 MXU operands + f32 accumulation,
+        # the same contraction XLA's default matmul precision runs for
+        # the dense chain's einsums on TPU (CPU stays f32)
         from ...ops.pallas import flash_attention_nhd
 
         attn = flash_attention_nhd(q, k, v, causal=True,
-                                   scale=cfg.head_dim ** -0.5)
+                                   scale=cfg.head_dim ** -0.5,
+                                   precision="default")
         attn = attn.reshape(b, t, cfg.n_embd)
     elif attn_impl == "flash" and kv_cache is None:
         # O(T)-memory Pallas kernel; full-sequence causal scoring only

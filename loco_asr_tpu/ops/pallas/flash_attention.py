@@ -165,20 +165,99 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k, interpret):
     return out, lse
 
 
+def _flash_pair_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                       acc_scr, *, scale: float, causal: bool,
+                       block_q: int, block_k: int, num_k_blocks: int,
+                       d: int, mxu_dtype=None):
+    """Two-heads-per-grid-step flash kernel over [B, T, H*D] operands.
+
+    Each block's 128-lane slice holds a HEAD PAIR (two D=64 heads side by
+    side) — 128 lanes is the smallest Mosaic-lowerable last-dim block, so
+    this is what lets the kernel consume the qkv projection's own layout
+    with no relayout.  The two heads run sequentially inside the step
+    with separate online-softmax stats (columns 0/1 of the [*, 8]
+    scratch); the accumulator is the natural lane-packed [Bq, 128]."""
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+    run = (not causal) or (k_start <= q_start + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]                                      # [Bq, 2D]
+        k = k_ref[0]                                      # [Bk, 2D]
+        v = v_ref[0]                                      # [Bk, 2D]
+        if mxu_dtype is not None:
+            # "default"-precision mode: MXU operands in bf16, f32
+            # accumulation — the same contraction XLA's default matmul
+            # precision runs for the dense chain (docs/BENCH.md r5)
+            q = q.astype(mxu_dtype)
+            k = k.astype(mxu_dtype)
+            v = v.astype(mxu_dtype)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32,
+                                            (block_q, block_k), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32,
+                                            (block_q, block_k), 1)
+            mask = (k_start + cols) <= (q_start + rows)
+        for h2 in (0, 1):
+            sl = slice(h2 * d, (h2 + 1) * d)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if causal:
+                s = jnp.where(mask, s, NEG_INF)
+            m_prev = m_scr[:, h2:h2 + 1]                  # [Bq, 1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = (alpha * l_scr[:, h2:h2 + 1]
+                     + jnp.sum(p, axis=1, keepdims=True))
+            acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scr[:, h2:h2 + 1] = m_new
+            l_scr[:, h2:h2 + 1] = l_new
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:, 0:2], 1e-30)         # [Bq, 2]
+        recip = 1.0 / denom
+        gain = jnp.concatenate(
+            [jnp.broadcast_to(recip[:, 0:1], (block_q, d)),
+             jnp.broadcast_to(recip[:, 1:2], (block_q, d))], axis=1)
+        o_ref[0] = (acc_scr[:] * gain).astype(o_ref.dtype)
+        lse2 = m_scr[:, 0:2] + jnp.log(denom)             # [Bq, 2]
+        lse_ref[0] = jnp.pad(lse2, ((0, 0), (0, 6))).astype(lse_ref.dtype)
+
+
 def _flash_forward_nhd(q, k, v, *, causal, scale, block_q, block_k,
-                       interpret):
+                       interpret, precision="float32"):
     """[B, T, H, D] operands consumed IN PLACE -> (out [B, Tq, H, D],
     lse [B, H, Tq]).
 
-    Same kernel math as :func:`_flash_forward`, but the BlockSpecs read
-    (1, block, 1, D) tiles straight out of the [B, T, H, D] array — the
-    layout a fused qkv projection's reshape produces for free.  Mosaic
-    lowers the D-wide last-dim block because it EQUALS the array dim, so
-    no [B, H, T, D] relayout copy is ever materialized (measured 5.4 ms
-    of pure q/k/v transpose glue at gpt2 B=128 scoring, docs/BENCH.md
-    round-4 flash decomposition — this path exists to delete it)."""
+    The arrays are viewed as [B, T, H*D] (a free reshape of the qkv
+    projection output) and blocked 128 lanes at a time — one HEAD PAIR
+    per grid step (:func:`_flash_pair_kernel`).  No [B, H, T, D] relayout
+    copy is ever materialized (measured 5.4 ms of pure q/k/v transpose
+    glue at gpt2 B=128 scoring, docs/BENCH.md round-4 decomposition —
+    this path exists to delete it).  Requires D == 64 and an even head
+    count; callers fall back to the flat-BH path otherwise."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
+    if d != 64 or h % 2:
+        raise ValueError(f"NHD path needs D == 64 and even heads, "
+                         f"got D={d}, H={h}")
+    hp = h // 2
 
     block_q = min(block_q, _round_up(max(8, tq), 8))
     block_k = min(max(8, block_k), _round_up(tk, 8))
@@ -200,36 +279,49 @@ def _flash_forward_nhd(q, k, v, *, causal, scale, block_q, block_k,
     num_q = tq_p // block_q
     num_k = tk_p // block_k
 
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_k_blocks=num_k)
+    qf = q.reshape(b, tq_p, h * d)
+    kf = k.reshape(b, tk_p, h * d)
+    vf = v.reshape(b, tk_p, h * d)
 
-    q_spec = pl.BlockSpec((1, block_q, 1, d),
-                          lambda bh, qi, ki: (bh // h, qi, bh % h, 0))
-    kv_spec = pl.BlockSpec((1, block_k, 1, d),
-                           lambda bh, qi, ki: (bh // h, ki, bh % h, 0))
+    # precision="default" mirrors XLA's default matmul precision: bf16
+    # MXU passes with f32 accumulation, the SAME contraction the dense
+    # baseline runs on TPU for f32 inputs.  Interpret mode (CPU) stays
+    # f32 — exactly like XLA:CPU's default precision — so CPU parity
+    # tests are unchanged.
+    mxu_dtype = (jnp.bfloat16 if precision == "default" and not interpret
+                 and q.dtype == jnp.float32 else None)
+    kernel = functools.partial(
+        _flash_pair_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_k_blocks=num_k, d=d, mxu_dtype=mxu_dtype)
+
+    q_spec = pl.BlockSpec((1, block_q, 2 * d),
+                          lambda bh, qi, ki: (bh // hp, qi, bh % hp))
+    kv_spec = pl.BlockSpec((1, block_k, 2 * d),
+                           lambda bh, qi, ki: (bh // hp, ki, bh % hp))
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b * h, num_q, num_k),
+        grid=(b * hp, num_q, num_k),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=(
             q_spec,
             pl.BlockSpec((1, block_q, 8), lambda bh, qi, ki: (bh, qi, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, tq_p, h, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, tq_p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, tq_p, h * d), q.dtype),
+            jax.ShapeDtypeStruct((b * hp, tq_p, 8), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 8), jnp.float32),
+            pltpu.VMEM((block_q, 8), jnp.float32),
+            pltpu.VMEM((block_q, 2 * d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v)
+    )(qf, kf, vf)
 
-    out = out[:, :tq]
-    lse = lse[..., 0].reshape(b, h, tq_p)[:, :, :tq]
+    out = out.reshape(b, tq_p, h, d)[:, :tq]
+    # lse columns 0/1 hold the pair's two heads
+    lse = (lse[..., :2].reshape(b, hp, tq_p, 2)
+           .transpose(0, 1, 3, 2).reshape(b, h, tq_p)[:, :, :tq])
     return out, lse
 
 
@@ -312,23 +404,25 @@ def _bwd(causal, scale, block_q, block_k, interpret, residuals, g):
 _flash_attention.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _flash_attention_nhd(q, k, v, causal, scale, block_q, block_k,
-                         interpret):
+                         interpret, precision="float32"):
     out, _ = _flash_forward_nhd(q, k, v, causal=causal, scale=scale,
                                 block_q=block_q, block_k=block_k,
-                                interpret=interpret)
+                                interpret=interpret, precision=precision)
     return out
 
 
-def _nhd_fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+def _nhd_fwd(q, k, v, causal, scale, block_q, block_k, interpret,
+             precision="float32"):
     out, lse = _flash_forward_nhd(q, k, v, causal=causal, scale=scale,
                                   block_q=block_q, block_k=block_k,
-                                  interpret=interpret)
+                                  interpret=interpret, precision=precision)
     return out, (q, k, v, out, lse)
 
 
-def _nhd_bwd(causal, scale, block_q, block_k, interpret, residuals, g):
+def _nhd_bwd(causal, scale, block_q, block_k, interpret, precision,
+             residuals, g):
     # backward reuses the flat-BH blockwise kernel path; the transposes
     # here cost the relayout the forward avoided, which is the right
     # trade — the NHD path's workload is fwd-only bulk scoring
@@ -347,7 +441,7 @@ def flash_attention_nhd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     causal: bool = True, scale: Optional[float] = None,
     block_q: Optional[int] = None, block_k: Optional[int] = None,
-    interpret: Optional[bool] = None,
+    interpret: Optional[bool] = None, precision: str = "float32",
 ) -> jnp.ndarray:
     """[B, T, H, D] q/k/v -> [B, Tq, H, D] causal flash attention.
 
@@ -360,14 +454,35 @@ def flash_attention_nhd(
     backward transposes to the flat-BH kernel.  No rel_pe/kv_valid_len
     support — padding must be inert under causality (right padding),
     exactly the eval_ppl scoring contract.
+
+    The in-place kernel packs a HEAD PAIR per 128-lane block (Mosaic's
+    minimum last-dim block), so it needs D == 64 and an even head count
+    — every GPT-2 preset qualifies; other shapes transparently fall back
+    to the flat-BH kernel with transposes (same numbers).
+
+    ``precision``: "float32" (exact f32 operand passes — multi-pass on
+    the MXU, slower) or "default" — bf16 MXU operands with f32
+    accumulation, the SAME contraction XLA's default matmul precision
+    runs for the f32 dense chain on TPU (so "matching dense" means
+    matching THIS).  Forward only; the backward always recomputes in the
+    input dtype.  Interpret mode (CPU) stays f32 either way, like
+    XLA:CPU's own default precision.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = scale if scale is not None else q.shape[-1] ** -0.5
+    b, t, h, d = q.shape
+    if d != 64 or h % 2:
+        tr = lambda x: x.transpose(0, 2, 1, 3)
+        out = _flash_attention(tr(q), tr(k), tr(v), causal, scale,
+                               block_q if block_q is not None else 512,
+                               block_k if block_k is not None else 512,
+                               interpret)
+        return out.transpose(0, 2, 1, 3)
     return _flash_attention_nhd(q, k, v, causal, scale,
                                 block_q if block_q is not None else 512,
                                 block_k if block_k is not None else 512,
-                                interpret)
+                                interpret, precision)
 
 
 # ---------------------------------------------------------------------------

@@ -177,9 +177,12 @@ def bench_sublayer(batch: int, heads: int, seq: int, dim: int):
                     0, 2, 1, 3)
                 a = flash_attention(tr(q), tr(k), tr(v), causal=True)
                 a = a.transpose(0, 2, 1, 3).reshape(b, t, e)
-            else:  # flash-nhd
+            else:  # flash-nhd variants
                 re = lambda z: z.reshape(b, t, heads, dim)
-                a = flash_attention_nhd(re(q), re(k), re(v), causal=True)
+                prec = "default" if "default" in impl else "float32"
+                bk = 1024 if "1024" in impl else None
+                a = flash_attention_nhd(re(q), re(k), re(v), causal=True,
+                                        precision=prec, block_k=bk)
                 a = a.reshape(b, t, e)
             return a @ wo
         return f
@@ -187,7 +190,8 @@ def bench_sublayer(batch: int, heads: int, seq: int, dim: int):
     from loco_asr_tpu.utils.profiling import device_time_per_iter
     print(f"\nsublayer [B={batch},H={heads},T={seq},D={dim}] "
           f"(qkv proj + causal attention + out proj), ms/call:")
-    for impl in ("dense", "flash-bhtd", "flash-nhd"):
+    for impl in ("dense", "flash-bhtd", "flash-nhd", "flash-nhd-default",
+                 "flash-nhd-1024", "flash-nhd-default-1024"):
         per = device_time_per_iter(make(impl), x, wqkv, wo, iters=6)
         print(f"  {impl:12s} {per*1e3:8.2f} ms")
     # parity spot check nhd vs bhtd

@@ -94,14 +94,17 @@ def test_flash_attention_nhd_matches_dense(t, block):
                                atol=2e-5, rtol=2e-5)
 
 
-def test_flash_attention_nhd_gradients_match_dense():
+@pytest.mark.parametrize("d", [32, 64])
+def test_flash_attention_nhd_gradients_match_dense(d):
+    """d=64 exercises the head-pair kernel's custom VJP; d=32 the
+    transparent flat-BH fallback."""
     from loco_asr_tpu.ops.pallas import flash_attention_nhd
 
     rng = np.random.default_rng(8)
     tr = lambda x: x.transpose(0, 2, 1, 3)
-    q = jnp.asarray(rng.standard_normal((1, 2, 96, 32)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((1, 2, 96, 32)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((1, 2, 96, 32)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((1, 2, 96, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 96, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 96, d)).astype(np.float32))
 
     def loss_nhd(q, k, v):
         out = flash_attention_nhd(tr(q), tr(k), tr(v), causal=True,
