@@ -185,9 +185,37 @@ def render_utterance(text: str, rng: np.random.Generator, *,
     return np.concatenate(parts) if parts else np.zeros(0, np.float32)
 
 
+def make_asr_lm_text(out_path: str, *, n_convs: int = 2000,
+                     n_utts: int = 10, filler_words: int = 3,
+                     name_len: int = 5, seed: int = 0,
+                     exclude: Sequence[str] = ()) -> str:
+    """Text-only conversation corpus over the ASR alphabet, for training
+    the fusion LM BIGGER than the paired-audio set (text is free; real
+    fusion LMs always see more text than transcribed audio).  Uses the
+    same filler vocabulary derivation as :func:`make_asr_corpus` with
+    the same ``seed`` (rng draw order matches), so the text distribution
+    is the ASR corpus's; ``exclude`` must carry the ASR dev names so the
+    context gain stays a copy, never a memory."""
+    rng = np.random.default_rng(seed + 100)
+    filler = make_filler_vocab(rng, n=12, chars=ASR_FILLER_CHARS)
+    names = sample_names(np.random.default_rng(seed + 7), n_convs,
+                         name_len, exclude=exclude, chars=ASR_NAME_CHARS)
+    lines = []
+    for c, name in enumerate(names):
+        conv = sample_conversation(rng, f"lmconv{c:05d}", name, filler,
+                                   n_utts=n_utts,
+                                   filler_words=filler_words)
+        for uid, text in zip(conv.utt_ids, conv.utterances):
+            lines.append(f"{uid} {text}")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return out_path
+
+
 def make_asr_corpus(out_dir: str, *, n_train: int = 60, n_dev: int = 16,
                     n_utts: int = 8, filler_words: int = 3,
-                    name_len: int = 4, seed: int = 0,
+                    name_len: int = 5, seed: int = 0,
                     degrade: bool = True,
                     degrade_prob: float = 0.5) -> Tuple[str, str]:
     """Write Kaldi ASR dirs ``train/`` and ``dev/`` (text, wav.scp,

@@ -49,11 +49,14 @@ def parse_args(argv=None):
     p.add_argument("--lm_utts", type=int, default=16)
     p.add_argument("--lm_steps", type=int, default=4000)
     p.add_argument("--lm_batch", type=int, default=16)
-    p.add_argument("--lm_n_embd", type=int, default=64,
-                   help="tiny-LM hidden size (train_lm --tiny_n_embd); "
-                        "the 32-dim default tiny barely learns the "
-                        "induction copy the corpus is built around")
-    p.add_argument("--lm_n_layer", type=int, default=3)
+    p.add_argument("--lm_n_embd", type=int, default=128,
+                   help="tiny-LM hidden size (train_lm --tiny_n_embd): "
+                        "32-dim barely learns the induction copy the "
+                        "corpus is built around (0.047 nats gain), "
+                        "64-dim gets the LM-stage gain to 0.371, and the "
+                        "fusion LM needs 128-dim for a ~sharp copy "
+                        "(name-char accuracy 42% -> 100% teacher-forced)")
+    p.add_argument("--lm_n_layer", type=int, default=4)
     p.add_argument("--seq_len", type=int, default=256,
                    help="LM train seq len = eval context window")
     # ASR half
@@ -63,16 +66,28 @@ def parse_args(argv=None):
                         "convs measured a 1.14x context ratio, too weak "
                         "to tip decoding)")
     p.add_argument("--asr_dev_convs", type=int, default=12)
-    p.add_argument("--asr_utts", type=int, default=8)
+    p.add_argument("--asr_utts", type=int, default=10)
+    p.add_argument("--asr_lm_convs", type=int, default=2000,
+                   help="TEXT-ONLY conversations for the fusion LM "
+                        "(text is free; 200 audio conversations measured "
+                        "too few for the LM to form the induction copy — "
+                        "name-char accuracy 44%%)")
     p.add_argument("--asr_steps", type=int, default=4000)
     p.add_argument("--asr_batch", type=int, default=8)
     p.add_argument("--asr_lr", type=float, default=1e-3,
                    help="tiny-ASR learning rate (3e-4 stalls at ~1.7 "
                         "nats on the tone task; 1e-3 reaches the "
                         "degraded-name entropy floor ~0.3)")
-    p.add_argument("--asr_lm_steps", type=int, default=5000)
-    p.add_argument("--asr_lm_seq_len", type=int, default=192)
-    p.add_argument("--fusion_weight", type=float, default=0.6)
+    p.add_argument("--asr_lm_steps", type=int, default=8000)
+    p.add_argument("--asr_lm_seq_len", type=int, default=256)
+    p.add_argument("--fusion_weight", type=float, default=0.4)
+    p.add_argument("--fusion_weights", default=None,
+                   help="comma list: decode the dev set at EACH weight "
+                        "and report all (one training, many decodes)")
+    p.add_argument("--skip_training", action="store_true",
+                   help="reuse existing asr/asr_lm checkpoints under "
+                        "out_dir (decode-only reruns, e.g. a fusion-"
+                        "weight sweep)")
     p.add_argument("--decode_max_len", type=int, default=40)
     p.add_argument("--rng_impl", default=None,
                    choices=[None, "threefry", "rbg", "unsafe_rbg"],
@@ -202,12 +217,30 @@ def run_asr_stage(args) -> Dict:
         "--seed", str(args.seed)]
     if args.rng_impl:
         asr_argv += ["--rng_impl", args.rng_impl]
-    rc = train_asr.main(asr_argv)
-    assert rc == 0, "train_asr failed"
+    if args.skip_training and os.path.exists(os.path.join(asr_dir, "ckpt")):
+        print("skip_training: reusing", asr_dir, file=sys.stderr)
+    else:
+        rc = train_asr.main(asr_argv)
+        assert rc == 0, "train_asr failed"
+
+    # fusion LM trains on a LARGE text-only corpus from the same
+    # distribution (see make_asr_lm_text) — dev names excluded so the
+    # carry-over gain can only be in-context copying
+    from ..data.synthetic_conversations import (ASR_NAME_CHARS,
+                                                make_asr_lm_text)
+    dev_names = set()
+    with open(os.path.join(dev_dir, "text")) as f:
+        for line in f:
+            for w in line.split()[1:]:
+                if all(c in ASR_NAME_CHARS for c in w):
+                    dev_names.add(w)
+    lm_text = make_asr_lm_text(
+        os.path.join(corpus, "lm_text.txt"), n_convs=args.asr_lm_convs,
+        n_utts=args.asr_utts, seed=args.seed, exclude=sorted(dev_names))
 
     lm_dir = os.path.join(args.out_dir, "asr_lm")
     lm_argv = [
-        "--train_file", os.path.join(tr_dir, "text"),
+        "--train_file", lm_text,
         "--model", "tiny", "--tokenizer", "char",
         "--seq_len", str(args.asr_lm_seq_len),
         "--batch_size", "16", "--steps", str(args.asr_lm_steps),
@@ -215,11 +248,21 @@ def run_asr_stage(args) -> Dict:
         "--save_every", str(args.asr_lm_steps), "--log_every", "100",
         "--tiny_n_embd", str(args.lm_n_embd),
         "--tiny_n_layer", str(args.lm_n_layer),
+        # the fusion LM's stream separator MUST be the ASR decoder's
+        # eos/start token (2): at decode time the LM sees utterances
+        # delimited by exactly that id; training it on the char
+        # tokenizer's default eos (1) measurably destroyed the
+        # cross-utterance copy (name-char accuracy 42% despite perfect
+        # teacher-forced induction with matched separators)
+        "--eos_id", str(2),
         "--seed", str(args.seed)]
     if args.rng_impl:
         lm_argv += ["--rng_impl", args.rng_impl]
-    rc = train_lm.main(lm_argv)
-    assert rc == 0, "train_lm (fusion LM) failed"
+    if args.skip_training and os.path.exists(os.path.join(lm_dir, "ckpt")):
+        print("skip_training: reusing", lm_dir, file=sys.stderr)
+    else:
+        rc = train_lm.main(lm_argv)
+        assert rc == 0, "train_lm (fusion LM) failed"
 
     # trained weights + the EXACT training-time configs (train_asr --tiny
     # + --config_json / train_lm --model tiny shapes)
@@ -236,7 +279,6 @@ def run_asr_stage(args) -> Dict:
                                 n_embd=args.lm_n_embd,
                                 n_layer=args.lm_n_layer, n_head=4)
     lm_params = Checkpointer(os.path.join(lm_dir, "ckpt")).restore()["params"]
-    fusion = FusionLM(lm_params, lm_cfg, weight=args.fusion_weight)
 
     tokenizer = load_tokenizer("char")
     tokenizer.vocab_size = 256
@@ -264,14 +306,19 @@ def run_asr_stage(args) -> Dict:
         for e in exs:
             flat_utts.append((e.utt_id, dev.load_waveform(e)))
 
-    carry = decode_conversations(
-        asr_params, cfg, convs, fusion=fusion, slots=4, chunk_steps=16,
-        max_len=args.decode_max_len, audio_samples=bucket,
-        max_positions=lm_cfg.n_positions,
-        decode_reserve=args.decode_max_len + 8)
-    nocarry = decode_continuous(
-        asr_params, cfg, flat_utts, slots=4, chunk_steps=16,
-        max_len=args.decode_max_len, audio_samples=bucket, fusion=fusion)
+    def decode_at(weight):
+        fusion = FusionLM(lm_params, lm_cfg, weight=weight)
+        carry = decode_conversations(
+            asr_params, cfg, convs, fusion=fusion, slots=4,
+            chunk_steps=16, max_len=args.decode_max_len,
+            audio_samples=bucket, max_positions=lm_cfg.n_positions,
+            decode_reserve=args.decode_max_len + 8)
+        nocarry = decode_continuous(
+            asr_params, cfg, flat_utts, slots=4, chunk_steps=16,
+            max_len=args.decode_max_len, audio_samples=bucket,
+            fusion=fusion)
+        return carry, nocarry
+
     nofusion = decode_continuous(
         asr_params, cfg, flat_utts, slots=4, chunk_steps=16,
         max_len=args.decode_max_len, audio_samples=bucket, fusion=None)
@@ -310,27 +357,35 @@ def run_asr_stage(args) -> Dict:
                 out[uid] = _hyp_text(tokenizer, row, L, eos)
         return out
 
-    results = {
-        "carry": collect(from_conversations(carry)),
-        "nocarry": collect(from_continuous(nocarry)),
-        "nofusion": collect(from_continuous(nofusion)),
-    }
-    # per-utterance hypothesis dump (debugging/inspection)
-    dump = {}
-    for label, hyps in (("carry", from_conversations(carry)),
-                        ("nocarry", from_continuous(nocarry)),
-                        ("nofusion", from_continuous(nofusion))):
-        for uid, hyp in hyps.items():
-            dump.setdefault(uid, {"ref": refs_by_utt[uid][2]})[label] = hyp
+    weights = ([float(w) for w in args.fusion_weights.split(",")]
+               if args.fusion_weights else [args.fusion_weight])
+    results: Dict = {"nofusion": collect(from_continuous(nofusion))}
+    dump: Dict = {}
+    for uid, hyp in from_continuous(nofusion).items():
+        dump.setdefault(uid, {"ref": refs_by_utt[uid][2]})["nofusion"] = hyp
+    for wi, w in enumerate(weights):
+        carry, nocarry = decode_at(w)
+        c_hyps = from_conversations(carry)
+        n_hyps = from_continuous(nocarry)
+        key = "" if wi == 0 else f"_w{w:g}"
+        results[f"carry{key}"] = collect(c_hyps)
+        results[f"nocarry{key}"] = collect(n_hyps)
+        for label, hyps in ((f"carry{key}", c_hyps),
+                            (f"nocarry{key}", n_hyps)):
+            for uid, hyp in hyps.items():
+                dump[uid][label] = hyp
+        print(f"ASR w={w:g}: WER degraded carry "
+              f"{results[f'carry{key}']['wer_degraded']:.3f} vs no-carry "
+              f"{results[f'nocarry{key}']['wer_degraded']:.3f} "
+              f"(no-fusion {results['nofusion']['wer_degraded']:.3f}); "
+              f"name recovery "
+              f"{results[f'carry{key}']['name_recovery']:.2f} vs "
+              f"{results[f'nocarry{key}']['name_recovery']:.2f}",
+              file=sys.stderr)
     with open(os.path.join(args.out_dir, "asr_hyps.json"), "w") as f:
         json.dump(dump, f, indent=1)
     results["wer_gain_degraded"] = (results["nocarry"]["wer_degraded"]
                                     - results["carry"]["wer_degraded"])
-    print(f"ASR: WER degraded carry {results['carry']['wer_degraded']:.3f} "
-          f"vs no-carry {results['nocarry']['wer_degraded']:.3f} "
-          f"(no-fusion {results['nofusion']['wer_degraded']:.3f}); "
-          f"name recovery {results['carry']['name_recovery']:.2f} vs "
-          f"{results['nocarry']['name_recovery']:.2f}", file=sys.stderr)
     return results
 
 

@@ -90,6 +90,14 @@ def parse_args(argv=None):
                    help="microbatches per optimizer step (sum-form "
                         "accumulation, exact token-mean equivalence; "
                         "batch_size must divide evenly)")
+    p.add_argument("--eos_id", type=int, default=None,
+                   help="override the tokenizer's eos id for the "
+                        "conversation-stream separators (e.g. 2 to match "
+                        "the SpeechT5 decoder's eos/start token so a "
+                        "shallow-fusion LM sees the SAME boundary token "
+                        "at decode time that it trained on — a separator "
+                        "mismatch measurably destroys cross-utterance "
+                        "induction, docs/LOCO_EXPERIMENT.md)")
     p.add_argument("--tiny_n_embd", type=int, default=32,
                    help="hidden size for --model tiny (eval_ppl re-derives "
                         "the config from the checkpoint's shapes)")
@@ -153,6 +161,8 @@ def main(argv=None) -> int:
             cfg = g.GPT2Config(**{**cfg.__dict__, "vocab_size": 256})
     if args.tokenizer == "char":
         tokenizer.vocab_size = cfg.vocab_size
+    if args.eos_id is not None:
+        tokenizer.eos_token_id = args.eos_id
     assert args.seq_len <= cfg.n_positions
 
     dims = [int(x) for x in args.mesh.split(",")]
