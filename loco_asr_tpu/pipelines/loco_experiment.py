@@ -319,6 +319,60 @@ def run_asr_stage(args) -> Dict:
             fusion=fusion)
         return carry, nocarry
 
+    def decode_oracle(weight):
+        """Carry-over with TRUE-transcript history (teacher-forced
+        context): the upper bound of the carry mechanism, isolating it
+        from error compounding in the decoded history."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..decode.beam import greedy_decode
+        from ..models.speecht5 import model as st5
+
+        fusion = FusionLM(lm_params, lm_cfg, weight=weight)
+        sep = cfg.eos_token_id
+        # FIXED priming shape: LEFT-aligned history in a [1, P] buffer
+        # (absolute positions 0..L-1 match the live carry layout; the
+        # tail pads' garbage KV sits at positions >= the variable start
+        # offset, where causality hides everything the decode hasn't
+        # overwritten) — the whole oracle pass compiles two programs,
+        # not one per history length
+        P = lm_cfg.n_positions - args.decode_max_len - 8
+        enc_fn = jax.jit(lambda p, w, m: st5.encode_speech(p, cfg, w, m))
+        prime_fn = jax.jit(lambda lp, ids, c: FusionLM(
+            lp, lm_cfg, weight=weight).prime(
+            ids, c, jnp.zeros((1,), jnp.int32))[0])
+        dec_fn = jax.jit(lambda p, lp, e, m, c, s: greedy_decode(
+            p, cfg, e, m, max_len=args.decode_max_len,
+            fusion=FusionLM(lp, lm_cfg, weight=weight),
+            lm_cache=c, lm_start=s))
+        out = {}
+        for reco, wavs in convs:
+            hist: List[int] = []
+            for uid, wav in zip(utt_order[reco], wavs):
+                cache = fusion.init_cache(1, lm_cfg.n_positions)
+                L = len(hist)
+                ids = np.zeros((1, P), np.int32)
+                if L:
+                    ids[0, :L] = hist
+                cache = prime_fn(fusion.params, jnp.asarray(ids), cache)
+                start = np.asarray([L], np.int32)
+                w = np.zeros((1, bucket), np.float32)
+                m = np.zeros((1, bucket), np.int32)
+                w[0, :len(wav)] = wav
+                m[0, :len(wav)] = 1
+                enc, msk = enc_fn(asr_params, jnp.asarray(w),
+                                  jnp.asarray(m))
+                toks, lens = dec_fn(asr_params, fusion.params, enc, msk,
+                                    cache, jnp.asarray(start))
+                out[uid] = (np.asarray(toks)[0], int(np.asarray(lens)[0]))
+                # true-history growth (tokens + separator)
+                ref = refs_by_utt[uid][2]
+                hist.extend(tokenizer(ref)["input_ids"])
+                hist.append(sep)
+                hist = hist[-P:] if len(hist) > P else hist
+        return out
+
     nofusion = decode_continuous(
         asr_params, cfg, flat_utts, slots=4, chunk_steps=16,
         max_len=args.decode_max_len, audio_samples=bucket, fusion=None)
@@ -367,20 +421,27 @@ def run_asr_stage(args) -> Dict:
         carry, nocarry = decode_at(w)
         c_hyps = from_conversations(carry)
         n_hyps = from_continuous(nocarry)
+        o_hyps = {uid: _hyp_text(tokenizer, row, L, eos)
+                  for uid, (row, L) in decode_oracle(w).items()}
         key = "" if wi == 0 else f"_w{w:g}"
         results[f"carry{key}"] = collect(c_hyps)
         results[f"nocarry{key}"] = collect(n_hyps)
+        results[f"oracle{key}"] = collect(o_hyps)
         for label, hyps in ((f"carry{key}", c_hyps),
-                            (f"nocarry{key}", n_hyps)):
+                            (f"nocarry{key}", n_hyps),
+                            (f"oracle{key}", o_hyps)):
             for uid, hyp in hyps.items():
                 dump[uid][label] = hyp
         print(f"ASR w={w:g}: WER degraded carry "
               f"{results[f'carry{key}']['wer_degraded']:.3f} vs no-carry "
               f"{results[f'nocarry{key}']['wer_degraded']:.3f} "
-              f"(no-fusion {results['nofusion']['wer_degraded']:.3f}); "
+              f"(oracle-history "
+              f"{results[f'oracle{key}']['wer_degraded']:.3f}, "
+              f"no-fusion {results['nofusion']['wer_degraded']:.3f}); "
               f"name recovery "
-              f"{results[f'carry{key}']['name_recovery']:.2f} vs "
-              f"{results[f'nocarry{key}']['name_recovery']:.2f}",
+              f"{results[f'carry{key}']['name_recovery']:.2f} / "
+              f"{results[f'nocarry{key}']['name_recovery']:.2f} / "
+              f"oracle {results[f'oracle{key}']['name_recovery']:.2f}",
               file=sys.stderr)
     with open(os.path.join(args.out_dir, "asr_hyps.json"), "w") as f:
         json.dump(dump, f, indent=1)
